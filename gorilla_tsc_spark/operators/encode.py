@@ -1,0 +1,170 @@
+"""Gorilla block encode/decode as Arrow-batched Spark operators.
+
+Layout decisions (scale rationale):
+
+- One block per (conv_id, channel, UTC day, seq). Day blocks satisfy the
+  reference's 27-bit first-delta constraint (ms offsets within a day are
+  < 2^27, GorillaCompressor.java:18, README.adoc:145-146). ``seq``
+  sub-blocks cap points-per-block (default 65 536) so a hot conversation
+  never creates a straggler task or an unbounded kernel buffer — this is
+  deterministic salting that preserves block decodability.
+- Channels are computed JVM-side BEFORE the shuffle; only numeric rows
+  (conv_id, day, seq, turn_idx, ts_ms, channel values) are shuffled —
+  at 10^12 turns the text never moves.
+- The encode kernel is GroupedData.applyInPandas: Arrow batches in, one
+  block row per channel out; inside it runs the vectorized NumPy codec
+  (codec/gorilla.py encode_block). No per-row Python crosses Spark.
+- Blocks carry value-domain pre-aggregates (cnt/min/max/sum) so rollup
+  tiers can be produced from block metadata without decoding — the
+  continuous-aggregate fast path; decode-verify cross-checks it.
+"""
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..codec.gorilla import GorillaDecoder, encode_block
+from ..functions.channels import Channel, default_channels
+
+DAY_MS = 86_400_000
+
+BLOCKS_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("channel", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("block_start", T.LongType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("n_points", T.IntegerType()),
+    T.StructField("n_bits", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("first_ts", T.LongType()),
+    T.StructField("last_ts", T.LongType()),
+    T.StructField("agg_cnt", T.LongType()),
+    T.StructField("agg_min", T.DoubleType()),
+    T.StructField("agg_max", T.DoubleType()),
+    T.StructField("agg_sum", T.DoubleType()),
+    T.StructField("crc", T.LongType()),
+])
+
+POINTS_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("channel", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("v_double", T.DoubleType()),
+    T.StructField("v_long", T.LongType()),
+])
+
+
+def points_for_encode(transcripts: DataFrame, channels: list[Channel] | None = None,
+                      points_per_block: int = 65_536) -> DataFrame:
+    """Project transcripts down to the numeric rows the encoder shuffles."""
+    channels = channels or default_channels()
+    ts_ms = F.unix_millis(F.col("ts"))
+    return transcripts.select(
+        F.col("conv_id"),
+        ts_ms.alias("ts_ms"),
+        F.floor(ts_ms / DAY_MS).cast("long").alias("day"),
+        (F.col("turn_idx").cast("long") / points_per_block).cast("int").alias("seq"),
+        F.col("turn_idx"),
+        *[c.expr().alias(f"ch_{c.name}") for c in channels],
+    )
+
+
+def _make_encode_kernel(channels: list[Channel], predictor: str | None):
+    chans = [(c.name, c.kind) for c in channels]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["turn_idx", "ts_ms"], kind="mergesort")
+        ts = pdf["ts_ms"].to_numpy(dtype=np.int64)
+        day = int(pdf["day"].iloc[0])
+        seq = int(pdf["seq"].iloc[0])
+        conv = pdf["conv_id"].iloc[0]
+        block_start = day * DAY_MS
+        rows = []
+        for name, kind in chans:
+            col = pdf[f"ch_{name}"].to_numpy()
+            if kind == "double":
+                vals = col.astype(np.float64)
+                bits = vals.view(np.uint64)
+            else:
+                lv = col.astype(np.int64)
+                bits = lv.view(np.uint64)
+                vals = lv.astype(np.float64)
+            enc = encode_block(block_start, ts, bits, predictor)
+            enc.close()
+            payload = enc.to_bytes()
+            rows.append((
+                conv, name, kind, block_start, seq,
+                len(ts), enc.n_bits, payload,
+                int(ts[0]), int(ts[-1]),
+                len(ts), float(vals.min()), float(vals.max()), float(vals.sum()),
+                zlib.crc32(payload),
+            ))
+        return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+
+    return kernel
+
+
+def encode_blocks(transcripts: DataFrame, channels: list[Channel] | None = None,
+                  predictor: str | None = None, points_per_block: int = 65_536) -> DataFrame:
+    """transcripts → gorilla_blocks. One shuffle, keyed (conv_id, day, seq)."""
+    channels = channels or default_channels()
+    pts = points_for_encode(transcripts, channels, points_per_block)
+    return pts.groupBy("conv_id", "day", "seq").applyInPandas(
+        _make_encode_kernel(channels, predictor), schema=BLOCKS_SCHEMA,
+    )
+
+
+def _decode_iter(pdf_iter, predictor: str | None):
+    for pdf in pdf_iter:
+        out_conv, out_chan, out_kind, out_ts = [], [], [], []
+        out_vd, out_vl, out_vl_mask = [], [], []
+        for row in pdf.itertuples(index=False):
+            dec = GorillaDecoder(bytes(row.payload), predictor)
+            ts, bits = dec.read_all()
+            n = len(ts)
+            out_conv.append(np.repeat(row.conv_id, n))
+            out_chan.append(np.repeat(row.channel, n))
+            out_kind.append(np.repeat(row.kind, n))
+            out_ts.append(ts)
+            if row.kind == "double":
+                out_vd.append(bits.view(np.float64))
+                out_vl.append(np.zeros(n, dtype=np.int64))
+                out_vl_mask.append(np.ones(n, dtype=bool))
+            else:
+                # keep exact int64 (e.g. xxhash64 exceeds double precision)
+                out_vl.append(bits.view(np.int64).copy())
+                out_vl_mask.append(np.zeros(n, dtype=bool))
+                out_vd.append(np.full(n, np.nan))
+        if not out_conv:
+            continue
+        yield pd.DataFrame({
+            "conv_id": np.concatenate(out_conv),
+            "channel": np.concatenate(out_chan),
+            "kind": np.concatenate(out_kind),
+            "ts_ms": np.concatenate(out_ts),
+            "v_double": np.concatenate(out_vd),
+            "v_long": pd.arrays.IntegerArray(
+                np.concatenate(out_vl), np.concatenate(out_vl_mask)),
+        })
+
+
+def decode_blocks(blocks: DataFrame, predictor: str | None = None) -> DataFrame:
+    """gorilla_blocks → exploded points (narrow op: no shuffle)."""
+    cols = ["conv_id", "channel", "kind", "payload"]
+    return blocks.select(*cols).mapInPandas(
+        lambda it: _decode_iter(it, predictor), schema=POINTS_SCHEMA,
+    )
+
+
+def block_value_column() -> F.Column:
+    """Unified numeric view of a decoded point (doubles stay exact;
+    long channels are integer-valued and exact up to 2^53)."""
+    return F.when(F.col("kind") == "double", F.col("v_double")).otherwise(
+        F.col("v_long").cast("double"))

@@ -1,0 +1,44 @@
+"""Gap-fill: densify rollup tiers onto a regular bucket grid.
+
+Grid generation is sequence()+explode per series (JVM-side, no Python);
+fill policies: 'null' (mark gaps), 'locf' (last-observation-carried-
+forward via last(ignorenulls) over an ordered window), 'zero' (cnt=0).
+
+Scale: the grid join is keyed (conv_id, channel, bucket) — co-
+partitioned with the rollup output, so AQE usually plans it without an
+extra exchange of the big side; the window for locf partitions by
+series, never globally.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gapfill(tier: DataFrame, bucket_ms: int, how: str = "locf",
+            keys=("conv_id", "channel")) -> DataFrame:
+    keys = list(keys)
+    spans = tier.groupBy(*keys).agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1"))
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_b0"), F.col("_b1"), F.lit(bucket_ms).cast("long"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(tier, on=keys + ["bucket"], how="left")
+    filled = joined.withColumn("is_gap", F.col("cnt").isNull())
+    if how == "null":
+        return filled
+    if how == "zero":
+        return filled.fillna({"cnt": 0, "vsum": 0.0})
+    if how == "locf":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for c in ("vmin", "vmax", "vsum"):
+            filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        return filled.fillna({"cnt": 0})
+    raise ValueError(f"unknown fill policy {how!r}")

@@ -1,0 +1,79 @@
+"""Continuous aggregates: 1m → 1h → 1d rollup tiers.
+
+All tiers carry (cnt, vmin, vmax, vsum) — an associative summary — so
+coarser tiers re-aggregate finer ones EXACTLY (sum/min/max recombine;
+mean is derived as vsum/cnt at read time). This is what makes the
+retention cascade's "rolled-up points exact-match" gate possible
+(BASELINE.json north_rule).
+
+Buckets are epoch-ms longs (floor division), not timestamps: integer
+keys hash/compare identically across Spark, DuckDB and parquet, and
+groupBy on a long is the cheapest possible shuffle key.
+
+Scale notes: groupBy(conv_id, channel, bucket) does partial (map-side)
+aggregation before the shuffle — at 10^12 turns the shuffle carries one
+row per (series, bucket), not per point. The 1h/1d tiers re-aggregate
+the 1m tier (tiny input), never the raw points.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINUTE_MS = 60_000
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+
+TIER_MS = {"1m": MINUTE_MS, "1h": HOUR_MS, "1d": DAY_MS}
+
+
+def bucket_col(ts_ms_col, bucket_ms: int):
+    return (F.floor(ts_ms_col / bucket_ms) * bucket_ms).cast("long")
+
+
+def rollup_points(points: DataFrame, bucket_ms: int, value_col, keys=("conv_id", "channel")) -> DataFrame:
+    """Aggregate raw/decoded points into one tier."""
+    return (
+        points.groupBy(*keys, bucket_col(F.col("ts_ms"), bucket_ms).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+            F.sum(value_col).alias("vsum"),
+        )
+    )
+
+
+def cascade(tier: DataFrame, from_ms: int, to_ms: int, keys=("conv_id", "channel")) -> DataFrame:
+    """Re-aggregate a finer tier into a coarser one — exact, associative."""
+    assert to_ms % from_ms == 0, "coarser tier must align"
+    return (
+        tier.groupBy(*keys, bucket_col(F.col("bucket"), to_ms).alias("bucket"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("vsum").alias("vsum"),
+        )
+    )
+
+
+def with_mean(tier: DataFrame) -> DataFrame:
+    return tier.withColumn("vmean", F.col("vsum") / F.col("cnt"))
+
+
+def rollup_from_block_meta(blocks: DataFrame) -> DataFrame:
+    """Day-tier aggregates straight from block metadata — zero decode.
+
+    Valid because blocks are aligned to UTC days (operators/encode.py):
+    per (conv, channel, day) the block pre-aggregates recombine exactly.
+    """
+    return (
+        blocks.groupBy("conv_id", "channel", F.col("block_start").alias("bucket"))
+        .agg(
+            F.sum("agg_cnt").alias("cnt"),
+            F.min("agg_min").alias("vmin"),
+            F.max("agg_max").alias("vmax"),
+            F.sum("agg_sum").alias("vsum"),
+        )
+    )
