@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline slice on sf0.001: derive the
+transcripts table, Gorilla-encode per-(conv, day) blocks with the
+vectorized Arrow kernel, decode, and build the 1-minute continuous
+aggregate tier.
+
+``queries()`` / ``oracle_sql()`` — the operator registry lives in
+``gorilla_tsc_spark.queries``; every SQL-expressible operator carries a
+DuckDB oracle with matching column names; codec/lossy/multimodal
+kernels are rows-only (non-SQL-expressible bit-level or Arrow-stub
+logic).
 """
 
 from __future__ import annotations
@@ -13,26 +18,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gorilla_tsc_spark.queries import build_oracle_sql, build_queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from gorilla_tsc_spark.queries import q_rollup_from_decoded
+    return q_rollup_from_decoded(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return build_oracle_sql()

@@ -339,7 +339,17 @@ class GorillaDecoder:
             value = self.predictor.predict() ^ value
             self.predictor.update(value)
             return value
-        return self.predictor.predict()
+        # Repeat path: the reference encoder updates its predictor on
+        # EVERY value (ValueCompressor.java:37-39) but the reference
+        # decoder skips the update here (ValueDecompressor.java:53) — a
+        # latent upstream asymmetry that permanently desyncs DFCM once
+        # xor==0 occurs. We update, which exactly inverts the encoder
+        # for all predictors and is a no-op for LastValue (so outputs
+        # agree with the reference decoder on every stream it can
+        # actually decode — all its test vectors pass bit-for-bit).
+        value = self.predictor.predict()
+        self.predictor.update(value)
+        return value
 
     def read_all(self, limit: int | None = None):
         """Decode the whole block → (ts int64 array, value uint64 array)."""

@@ -1,0 +1,264 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families over the ``documents`` table:
+
+- exact:     group by md5(text) — one shuffle keyed by a 16-byte hash,
+             never the text itself (at 100 TB the payload stays put).
+- n-gram Jaccard: word-3-gram shingles → inverted-index self-join on
+             shingle → exact Jaccard from intersection counts.
+- MinHash + LSH: K universal-hash minima per doc; band hashes bucket
+             candidates; candidates verified with exact Jaccard.
+- SimHash:   sign-aggregated 32-bit token-hash fingerprint.
+
+All scalar math comes from functions/portable.py so the DuckDB oracle
+replays it bit-identically; every Spark-side expression is ``F.expr``
+over built-ins (JVM, whole-stage codegen — no Python UDFs).
+
+Scale notes: the shingle inverted index is the classic near-dup join —
+its shuffle is keyed by shingle hash; stop-shingle skew (a shingle
+shared by millions of docs) is bounded by ``max_df`` frequency pruning
+(standard practice, e.g. Spark MLlib MinHashLSH docs). Pair counting
+uses map-side combine; doc-length joins are broadcast.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+MINHASH_K = 12      # minhash seeds
+LSH_BANDS = 6       # bands of R = K/BANDS rows each
+JACCARD_TAU = 0.2   # near-dup threshold (word-soup corpus ⇒ low overlap)
+MAX_DF = 1_000_000  # stop-shingle pruning bound (no-op at sandbox scale)
+
+
+def _shingle_expr(d: str) -> str:
+    return P.shingles3(P.tokens("text", d), d)
+
+
+def shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh_hash) distinct word-3-gram shingle hashes per doc."""
+    return (
+        docs.select("doc_id", F.explode(F.expr(_shingle_expr(P.SPARK))).alias("sh"))
+        .select("doc_id", F.expr(P.str_hash("sh", P.SPARK)).alias("sh_hash"))
+        .distinct()
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.min("doc_id").alias("keep_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_sql(d: str = P.DUCK) -> str:
+    return ("SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "
+            "count(*) AS n_copies FROM documents GROUP BY md5(text)")
+
+
+def jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU,
+                  max_df: int = MAX_DF) -> DataFrame:
+    """Doc pairs with shingle-set Jaccard ≥ tau.
+
+    Inverted-index self-join; per-doc set sizes are a tiny dimension
+    broadcast onto the pair counts.
+    """
+    sh = shingles(docs)
+    df_ok = sh.groupBy("sh_hash").count().where(F.col("count") <= max_df).select("sh_hash")
+    sh = sh.join(F.broadcast(df_ok), "sh_hash")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh_hash") == F.col("b.sh_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "a_id")
+                          .withColumnRenamed("n_sh", "a_sh")), "a_id")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "b_id")
+                          .withColumnRenamed("n_sh", "b_sh")), "b_id")
+        .withColumn("jaccard", F.round(
+            F.col("n_inter") / (F.col("a_sh") + F.col("b_sh") - F.col("n_inter")), 6))
+        .where(F.col("jaccard") >= tau)
+        .select("a_id", "b_id", "n_inter", "jaccard")
+    )
+
+
+def _shingle_cte(d: str) -> str:
+    return (
+        f"sh AS (SELECT DISTINCT doc_id, {P.str_hash('s', d)} AS sh_hash "
+        f"FROM (SELECT doc_id, unnest({_shingle_expr(d)}) AS s FROM documents))"
+    )
+
+
+def jaccard_pairs_sql(d: str = P.DUCK, tau: float = JACCARD_TAU) -> str:
+    return f"""
+WITH {_shingle_cte(d)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT a_id, b_id, n_inter,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {tau}
+"""
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, seed, minhash): K independent universal-hash minima."""
+    sh = shingles(docs)
+    seeded = sh.select(
+        "doc_id", "sh_hash",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"))
+    perm = P.minhash_perm("sh_hash", "seed", P.SPARK)
+    return (
+        seeded.withColumn("ph", F.expr(perm))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("ph").alias("minhash"))
+    )
+
+
+def minhash_signatures_sql(d: str = P.DUCK, k: int = MINHASH_K) -> str:
+    perm = P.minhash_perm("sh_hash", "seed", d)
+    return f"""
+WITH {_shingle_cte(d)},
+seeded AS (
+  SELECT doc_id, sh_hash, unnest(generate_series(0, {k - 1})) AS seed FROM sh)
+SELECT doc_id, seed, min({perm}) AS minhash
+FROM seeded GROUP BY doc_id, seed
+"""
+
+
+def lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS,
+              tau: float = JACCARD_TAU) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified with exact Jaccard.
+
+    Band key combines the band's minhashes order-independently
+    ((seed+13)-weighted sum mod P) so no collect_list ordering is
+    involved — the same combine renders in the oracle.
+    """
+    sig = minhash_signatures(docs, k)
+    band = (
+        sig.withColumn("band", (F.col("seed") % bands).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(((F.sum((F.col("seed") + 13) * F.col("minhash"))) % P.HASH_P)
+             .alias("band_hash"))
+    )
+    a = band.alias("a")
+    b = band.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    verified = jaccard_pairs(docs, tau=0.0).withColumnRenamed("jaccard", "jaccard_v")
+    return (
+        cand.join(verified, ["a_id", "b_id"])
+        .where(F.col("jaccard_v") >= tau)
+        .select("a_id", "b_id", F.col("jaccard_v").alias("jaccard"))
+    )
+
+
+def lsh_pairs_sql(d: str = P.DUCK, k: int = MINHASH_K, bands: int = LSH_BANDS,
+                  tau: float = JACCARD_TAU) -> str:
+    perm = P.minhash_perm("sh_hash", "seed", d)
+    return f"""
+WITH {_shingle_cte(d)},
+seeded AS (
+  SELECT doc_id, sh_hash, unnest(generate_series(0, {k - 1})) AS seed FROM sh),
+sig AS (SELECT doc_id, seed, min({perm}) AS minhash FROM seeded GROUP BY doc_id, seed),
+band AS (
+  SELECT doc_id, CAST(seed % {bands} AS INT) AS band,
+         sum((seed + 13) * minhash) % {P.HASH_P} AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed % {bands} AS INT)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT c.a_id, c.b_id,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+JOIN sizes sa ON sa.doc_id = c.a_id
+JOIN sizes sb ON sb.doc_id = c.b_id
+WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= {tau}
+"""
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash: per token-occurrence hash, ±1 vote per bit."""
+    tok = (
+        docs.select("doc_id", F.explode(F.expr(P.tokens("text", P.SPARK))).alias("t"))
+        .select("doc_id", F.expr(P.str_hash("t", P.SPARK)).alias("h"))
+    )
+    votes = (
+        tok.select("doc_id", "h",
+                   F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)).alias("v"))
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << b"))
+                   .otherwise(F.lit(0))).alias("simhash"))
+    )
+
+
+def simhash_sql(d: str = P.DUCK, bits: int = 32) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {P.str_hash('t', d)} AS h
+  FROM (SELECT doc_id, unnest({P.tokens('text', d)}) AS t FROM documents)),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok, (SELECT unnest(generate_series(0, {bits - 1})) AS b)
+  GROUP BY doc_id, b)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    At scale: bucket by bit-bands of the signature (same LSH idea) —
+    here the corpus is small enough to pair directly within simhash
+    popcount neighborhoods; kept simple and exact via self-join on a
+    16-bit prefix (pigeonhole: ≤3 flipped bits in 32 leaves one
+    untouched 16-bit half).
+    """
+    s = simhash(docs)
+    half = s.select(
+        "doc_id", "simhash",
+        F.explode(F.array(
+            F.expr("simhash >> 16"), F.expr("simhash & 65535"))).alias("half"))
+    a = half.alias("a")
+    b = half.alias("b")
+    return (
+        a.join(b, (F.col("a.half") == F.col("b.half"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"),
+                F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,119 @@
+"""Lossy compression as Spark operators: PMC-MR (piecewise-constant)
+and Swing (piecewise-linear) segment filters + native reconstruction.
+
+The filters are inherently sequential per series (reference
+``PmcMR.java:10-48``, ``SwingFilter.java:11-59``) → one
+``applyInPandas`` scan per (series) group running the bit-exact kernels
+from codec/lossy.py. Reconstruction is the opposite: pure Spark SQL —
+``sequence(t0, t1) + explode`` and ``a*t + b`` — exactly the
+DecompressorPmcMr/DecompressorSwingFilter contract of one value per
+unit timestamp (``DecompressorPmcMr.java:32-47``,
+``DecompressorSwingFilter.java:32-48``).
+
+Scale: segments are tiny relative to points (that's the point of lossy
+compression); the expensive direction (filtering) shuffles once keyed
+by series, the cheap direction (reconstruction) is narrow.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..codec.lossy import pmc_mr_filter, swing_filter
+
+PMC_SCHEMA = T.StructType([
+    T.StructField("series", T.StringType()),
+    T.StructField("t0", T.LongType()),
+    T.StructField("t1", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+SWING_SCHEMA = T.StructType([
+    T.StructField("series", T.StringType()),
+    T.StructField("t0", T.LongType()),
+    T.StructField("t1", T.LongType()),
+    T.StructField("a", T.DoubleType()),
+    T.StructField("b", T.DoubleType()),
+])
+
+
+def _series_points(events: DataFrame) -> DataFrame:
+    """events → unit-spaced (series, t, v) — the lossy decompressors
+    assume dense integer timestamps (SURVEY §3.3), so t is the in-series
+    row index, exactly like the reference tests synthesize timestamp++
+    (``CompressTest.java:352-355``)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("series"),
+        (F.row_number().over(w) - 1).cast("long").alias("t"),
+        F.col("value").cast("float").alias("v"),
+    )
+
+
+def _pmc_kernel(eps: float):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t", kind="mergesort")
+        segs = pmc_mr_filter(pdf["t"].to_numpy(np.int64),
+                             pdf["v"].to_numpy(np.float32), eps)
+        return pd.DataFrame(
+            [(pdf["series"].iloc[0], s.t0, s.t1, float(s.value))
+             for s in segs],
+            columns=[f.name for f in PMC_SCHEMA.fields])
+    return kernel
+
+
+def _swing_kernel(eps: float):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t", kind="mergesort")
+        segs = swing_filter(pdf["t"].to_numpy(np.int64),
+                            pdf["v"].to_numpy(np.float32), eps)
+        return pd.DataFrame(
+            [(pdf["series"].iloc[0], s.t0, s.t1,
+              float(s.line.a), float(s.line.b)) for s in segs],
+            columns=[f.name for f in SWING_SCHEMA.fields])
+    return kernel
+
+
+def pmc_segments(events: DataFrame, eps: float) -> DataFrame:
+    return _series_points(events).groupBy("series").applyInPandas(
+        _pmc_kernel(eps), schema=PMC_SCHEMA)
+
+
+def swing_segments(events: DataFrame, eps: float) -> DataFrame:
+    return _series_points(events).groupBy("series").applyInPandas(
+        _swing_kernel(eps), schema=SWING_SCHEMA)
+
+
+def reconstruct_pmc(segs: DataFrame) -> DataFrame:
+    """Piecewise-constant rebuild — pure JVM (sequence+explode+lit)."""
+    return segs.select(
+        "series",
+        F.explode(F.sequence("t0", "t1")).alias("t"),
+        F.col("value").cast("float").cast("double").alias("v_hat"),
+    )
+
+
+def reconstruct_swing(segs: DataFrame) -> DataFrame:
+    """Piecewise-linear rebuild: v̂ = float32(a·t + b), matching
+    ``LinearFunction.java:26-27`` float evaluation."""
+    out = segs.select(
+        "series", F.explode(F.sequence("t0", "t1")).alias("t"), "a", "b")
+    # LinearFunction.get: a*t + b in float64, result narrowed to float32
+    v = (F.col("a") * F.col("t") + F.col("b")).cast("float")
+    return out.select("series", "t", v.cast("double").alias("v_hat"))
+
+
+def max_abs_error(events: DataFrame, recon: DataFrame) -> DataFrame:
+    """ε-bound audit: join reconstruction back to the source points."""
+    pts = _series_points(events).withColumn(
+        "v", F.col("v").cast("double"))
+    return (
+        pts.join(recon, ["series", "t"])
+        .groupBy("series")
+        .agg(F.max(F.abs(F.col("v") - F.col("v_hat"))).alias("max_err"),
+             F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — broadcast the (small)
+  query set against the corpus; the dot product is a sequential
+  left-fold in float64 (functions/portable.py ``dot``) so the DuckDB
+  oracle reproduces it bit-for-bit (no reassociation).
+- ``cosine_dup_pairs``: embedding near-duplicate detection (cos ≥ τ).
+- ``ann_lsh_topk``: random-hyperplane LSH — hyperplane components come
+  from an integer LCG (exact in int64, portable), vectors bucket by
+  their sign pattern, and top-k is computed within buckets only.
+
+Scale notes: brute-force is O(Q·N) with Q broadcast — the right
+baseline when Q is small; the LSH path turns the cross join into a
+bucket-equijoin whose shuffle is keyed by (plane-sign pattern), which
+is how this survives N at 100 TB. Norms are precomputed once per side.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+TOPK = 5
+QUERY_MOD = 31        # vec_id % QUERY_MOD == 0 → query set
+DUP_TAU = 0.99
+LSH_PLANES = 8
+
+_LCG_M = 2_147_483_647
+
+
+def _plane_component(h: str, i: str) -> str:
+    """Deterministic pseudo-random hyperplane component in (-0.5, 0.5).
+
+    Pure int64 arithmetic then one exact division — identical in both
+    dialects.
+    """
+    return (f"(CAST((CAST(1103515245 AS BIGINT) * ({h} * 64 + {i}) + 12345) "
+            f"% {_LCG_M} AS DOUBLE) / {_LCG_M}.0 - 0.5)")
+
+
+def _cos_expr(a: str, b: str, d: str) -> str:
+    return (f"round({P.dot(a, b, d)} / "
+            f"(sqrt({P.dot(a, a, d)}) * sqrt({P.dot(b, b, d)})), 6)")
+
+
+def cosine_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD) -> DataFrame:
+    q = (emb.where(F.col("vec_id") % query_mod == 0)
+         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")))
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", F.expr(_cos_expr("q_emb", "n_emb", P.SPARK)))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "n_id", "rank", "cos"))
+
+
+def cosine_topk_sql(d: str = P.DUCK, k: int = TOPK, query_mod: int = QUERY_MOD) -> str:
+    cos = _cos_expr("q.embedding", "c.embedding", d)
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {cos} AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % {query_mod} = 0),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM scored)
+SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= {k}
+"""
+
+
+def cosine_dup_pairs(emb: DataFrame, tau: float = DUP_TAU) -> DataFrame:
+    """Embedding near-dup pairs. Sandbox corpus pairs directly; at scale
+    run behind ``ann_lsh_topk``'s bucketing (same cosine expression)."""
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", F.expr(_cos_expr("a_emb", "b_emb", P.SPARK)))
+        .where(F.col("cos") >= tau)
+        .select("a_id", "b_id", "cos")
+    )
+
+
+def cosine_dup_pairs_sql(d: str = P.DUCK, tau: float = DUP_TAU) -> str:
+    cos = _cos_expr("a.embedding", "b.embedding", d)
+    return f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= {tau}
+"""
+
+
+def _bucket_expr(emb_col: str, planes: int, d: str) -> str:
+    """LSH bucket id: sign bit per hyperplane, packed into an int."""
+    terms = []
+    for h in range(planes):
+        if d == P.SPARK:
+            proj = (f"aggregate(transform(sequence(0, size({emb_col}) - 1), "
+                    f"i -> cast(element_at({emb_col}, i + 1) as double) * "
+                    f"{_plane_component(str(h), 'i')}), "
+                    f"cast(0.0 as double), (s, v) -> s + v)")
+        else:
+            proj = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                    f"list_transform(generate_series(1, len({emb_col})), "
+                    f"i -> CAST({emb_col}[i] AS DOUBLE) * "
+                    f"{_plane_component(str(h), '(i - 1)')})), (s, v) -> s + v)")
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << h} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def ann_lsh_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
+                 planes: int = LSH_PLANES) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within LSH buckets."""
+    bucketed = emb.withColumn(
+        "bucket", F.expr(_bucket_expr("embedding", planes, P.SPARK)))
+    q = (bucketed.where(F.col("vec_id") % query_mod == 0)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"), "bucket"))
+    c = bucketed.select(F.col("vec_id").alias("n_id"),
+                        F.col("embedding").alias("n_emb"), "bucket")
+    scored = (
+        F.broadcast(q).join(c, "bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", F.expr(_cos_expr("q_emb", "n_emb", P.SPARK)))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "n_id", "rank", "cos"))
+
+
+def ann_lsh_topk_sql(d: str = P.DUCK, k: int = TOPK, query_mod: int = QUERY_MOD,
+                     planes: int = LSH_PLANES) -> str:
+    cos = _cos_expr("q.embedding", "c.embedding", d)
+    bucket = _bucket_expr("embedding", planes, d)
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {cos} AS cos
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % {query_mod} = 0),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM scored)
+SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= {k}
+"""

@@ -1,0 +1,500 @@
+"""Query registry: every operator exposed as a (Spark callable, DuckDB
+oracle SQL) pair for the driver's correctness gate.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+the oracle is equivalent ANSI SQL DuckDB runs on the same parquet
+tables. Column names/aliases match exactly on both sides (the driver
+hash-compares values after sorting columns by name).
+
+Float discipline (what makes value-hash equality hold):
+- tier sums aggregate integer-valued doubles → exact in IEEE754 in any
+  order;
+- money sums run in integer cents (round(x*100) → bigint);
+- dot products fold left sequentially in both engines (portable.dot);
+- everything else is integer/string/hash math from functions/portable.
+"""
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import portable as P
+from .functions import textstats
+from .functions.channels import Channel
+from .operators import dedup, lossy_ops, multimodal, similarity
+from .operators.encode import block_value_column, decode_blocks, encode_blocks
+from .operators.gapfill import gapfill
+from .operators.retention import RetentionPolicy, apply_retention, serve_union
+from .operators.rollup import (DAY_MS, HOUR_MS, MINUTE_MS, cascade,
+                               rollup_from_block_meta, rollup_points)
+from .sources.tables import load_table
+from .sources.transcripts import transcripts_from_events, transcripts_oracle_sql
+
+LEN_CHANNEL = [Channel("len", "double")]
+WORDS_CHANNEL = [Channel("words", "long")]
+
+# ---------------------------------------------------------------- helpers
+
+_PTS_SQL = """
+pts AS (
+  SELECT conv_id, epoch_ms(ts) AS ts_ms, CAST(length(text) AS DOUBLE) AS v
+  FROM transcripts)
+"""
+
+
+def _with_transcripts(body: str) -> str:
+    return f"WITH transcripts AS ({transcripts_oracle_sql()}),\n{body}"
+
+
+def _rollup_sql(bucket_ms: int, alias: str = "") -> str:
+    q = f"""
+SELECT conv_id, CAST(floor(ts_ms / {bucket_ms}) AS BIGINT) * {bucket_ms} AS bucket,
+       count(*) AS cnt, min(v) AS vmin, max(v) AS vmax, sum(v) AS vsum
+FROM pts GROUP BY 1, 2"""
+    return f"{alias} AS ({q})" if alias else q
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts semantics must match DuckDB's naive timestamps: the shared SQL
+    # template casts the (possibly NTZ) parquet ts to TIMESTAMP, and the
+    # session interprets it in UTC on both ends.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return transcripts_from_events(spark, load_table(spark, sf_dir, "events"))
+
+
+def _len_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id", F.unix_millis("ts").alias("ts_ms"),
+        F.length("text").cast("double").alias("v"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------- core timeseries
+
+def q_transcripts_derive(spark, sf_dir):
+    return _transcripts(spark, sf_dir)
+
+
+def q_rollup_1m(spark, sf_dir):
+    return rollup_points(_len_points(spark, sf_dir), MINUTE_MS, F.col("v"),
+                         keys=("conv_id",))
+
+
+def q_rollup_1h_cascade(spark, sf_dir):
+    t1m = rollup_points(_len_points(spark, sf_dir), MINUTE_MS, F.col("v"),
+                        keys=("conv_id",))
+    return cascade(t1m, MINUTE_MS, HOUR_MS, keys=("conv_id",))
+
+
+def q_rollup_1d_cascade(spark, sf_dir):
+    t1m = rollup_points(_len_points(spark, sf_dir), MINUTE_MS, F.col("v"),
+                        keys=("conv_id",))
+    return cascade(cascade(t1m, MINUTE_MS, HOUR_MS, keys=("conv_id",)),
+                   HOUR_MS, DAY_MS, keys=("conv_id",))
+
+
+def q_rollup_1d_from_blocks(spark, sf_dir):
+    """Day tier straight from Gorilla block metadata — zero decode."""
+    blocks = encode_blocks(_transcripts(spark, sf_dir), LEN_CHANNEL)
+    return (rollup_from_block_meta(blocks)
+            .where(F.col("channel") == "len")
+            .select("conv_id", "bucket", "cnt", "vmin", "vmax", "vsum"))
+
+
+def q_codec_roundtrip_len(spark, sf_dir):
+    """decode(encode(points)) == points — the codec identity, SQL-checkable."""
+    blocks = encode_blocks(_transcripts(spark, sf_dir), LEN_CHANNEL)
+    return (decode_blocks(blocks)
+            .select("conv_id", "ts_ms", F.col("v_double").alias("v")))
+
+
+def q_codec_roundtrip_words(spark, sf_dir):
+    blocks = encode_blocks(_transcripts(spark, sf_dir), WORDS_CHANNEL)
+    return (decode_blocks(blocks)
+            .select("conv_id", "ts_ms", F.col("v_long").cast("long").alias("w")))
+
+
+def q_codec_roundtrip_dfcm(spark, sf_dir):
+    """Same identity through the DifferentialFCM predictor path."""
+    blocks = encode_blocks(_transcripts(spark, sf_dir), LEN_CHANNEL,
+                           predictor="dfcm1024")
+    return (decode_blocks(blocks, predictor="dfcm1024")
+            .select("conv_id", "ts_ms", F.col("v_double").alias("v")))
+
+
+def q_rollup_from_decoded(spark, sf_dir):
+    """Full engine path: encode → decode → 1m rollup (the self-verifying
+    tier build used by the pipeline)."""
+    blocks = encode_blocks(_transcripts(spark, sf_dir), LEN_CHANNEL)
+    pts = decode_blocks(blocks)
+    return (rollup_points(pts, MINUTE_MS, block_value_column())
+            .drop("channel"))
+
+
+def q_gapfill_1h_locf(spark, sf_dir):
+    t1h = rollup_points(_len_points(spark, sf_dir), HOUR_MS, F.col("v"),
+                        keys=("conv_id",))
+    return gapfill(t1h, HOUR_MS, how="locf", keys=("conv_id",))
+
+
+def q_gapfill_1d_null(spark, sf_dir):
+    t1d = rollup_points(_len_points(spark, sf_dir), DAY_MS, F.col("v"),
+                        keys=("conv_id",))
+    return gapfill(t1d, DAY_MS, how="null", keys=("conv_id",))
+
+
+_POLICY = RetentionPolicy(keep_1m_days=7, keep_1h_days=21, keep_1d_days=3650)
+
+
+def _tiers(spark, sf_dir):
+    t1m = rollup_points(_len_points(spark, sf_dir), MINUTE_MS, F.col("v"),
+                        keys=("conv_id",))
+    t1h = cascade(t1m, MINUTE_MS, HOUR_MS, keys=("conv_id",))
+    t1d = cascade(t1h, HOUR_MS, DAY_MS, keys=("conv_id",))
+    return t1m, t1h, t1d
+
+
+def q_retention_serve(spark, sf_dir):
+    t1m, t1h, t1d = _tiers(spark, sf_dir)
+    now_ms = _len_points(spark, sf_dir).agg(F.max("ts_ms")).first()[0]
+    return serve_union(t1m, t1h, t1d, now_ms, _POLICY)
+
+
+def q_retention_expire_1h(spark, sf_dir):
+    _, t1h, _ = _tiers(spark, sf_dir)
+    now_ms = _len_points(spark, sf_dir).agg(F.max("ts_ms")).first()[0]
+    return apply_retention(t1h, now_ms, _POLICY.keep_1h_days)
+
+
+# ------------------------------------------------ relational coverage
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped scan+filter+agg; money in integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+             F.sum(cents("l_extendedprice")).alias("sum_base_cents"),
+             F.sum(cents("l_extendedprice")
+                   * (F.lit(100) - cents("l_discount"))).alias("sum_disc_units"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_units,
+       count(*) AS cnt
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(spark, sf_dir):
+    """TPC-H Q3-shaped 3-way join; dims broadcast; deterministic top-10."""
+    from pyspark.sql import Window
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(cents("l_extendedprice")
+                   * (F.lit(100) - cents("l_discount"))).alias("revenue_units"))
+    )
+    w = Window.orderBy(F.desc("revenue_units"), F.asc("l_orderkey"))
+    return (rev.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 10).drop("rk"))
+
+
+TOP_ORDERS_SQL = """
+WITH rev AS (
+  SELECT l_orderkey, o_orderdate,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_units
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY l_orderkey, o_orderdate)
+SELECT l_orderkey, o_orderdate, revenue_units FROM rev
+QUALIFY row_number() OVER (ORDER BY revenue_units DESC, l_orderkey ASC) <= 10
+"""
+
+
+def q_events_top3(spark, sf_dir):
+    """Window-function coverage: top-3 events per user by value."""
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (ev.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("user_id", "event_id", "event_type", "rk"))
+
+
+EVENTS_TOP3_SQL = """
+SELECT user_id, event_id, event_type,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY value DESC, event_id ASC) AS rk
+FROM events QUALIFY rk <= 3
+"""
+
+
+# --------------------------------------------- training-data pipeline ops
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_minhash_sigs(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_dedup_lsh(spark, sf_dir):
+    return dedup.lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir))
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH s AS ({dedup.simhash_sql(P.DUCK)})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE ((a.simhash >> 16) = (b.simhash >> 16)
+       OR (a.simhash & 65535) = (b.simhash & 65535))
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_ann_cosine(spark, sf_dir):
+    return similarity.cosine_topk(_emb(spark, sf_dir))
+
+
+def q_ann_lsh(spark, sf_dir):
+    return similarity.ann_lsh_topk(_emb(spark, sf_dir))
+
+
+def q_embedding_dups(spark, sf_dir):
+    # synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51
+    # at sf0.01) — τ=0.4 keeps the result small but non-trivial
+    return similarity.cosine_dup_pairs(_emb(spark, sf_dir), tau=0.4)
+
+
+def _textstat_query(cols_fn):
+    def run(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        return docs.select(
+            *[F.expr(sql).alias(name) for name, sql in cols_fn(P.SPARK)])
+    return run
+
+
+def _textstat_sql(cols_fn) -> str:
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in cols_fn(P.DUCK))
+    return f"SELECT {cols} FROM documents"
+
+
+def q_multimodal_features(spark, sf_dir):
+    media = multimodal.attach_media(_docs(spark, sf_dir))
+    return multimodal.extract_features(media)
+
+
+def q_frame_sample(spark, sf_dir):
+    media = multimodal.attach_media(_docs(spark, sf_dir))
+    return multimodal.frame_sample(media)
+
+
+FRAME_SAMPLE_SQL = """
+SELECT doc_id, CAST(doc_id % 30 + 1 AS INT) AS frames,
+       CAST(unnest(generate_series(0, CAST(doc_id % 30 AS BIGINT), 10)) AS INT)
+         AS frame_idx
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+# ------------------------------------------------- rows-only (non-SQL) ops
+
+def q_block_stats(spark, sf_dir):
+    """Compression accounting per channel (codec-dependent → no oracle)."""
+    blocks = encode_blocks(_transcripts(spark, sf_dir))
+    return (blocks.groupBy("channel")
+            .agg(F.count(F.lit(1)).alias("n_blocks"),
+                 F.sum("n_points").alias("n_points"),
+                 F.sum(F.length("payload")).alias("payload_bytes"),
+                 F.round(F.sum(F.length("payload")) * 8.0
+                         / F.sum("n_points"), 3).alias("bits_per_point")))
+
+
+def q_lossy_pmc(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    segs = lossy_ops.pmc_segments(ev, eps=8.0)
+    return lossy_ops.max_abs_error(ev, lossy_ops.reconstruct_pmc(segs))
+
+
+def q_lossy_swing(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    segs = lossy_ops.swing_segments(ev, eps=8.0)
+    return lossy_ops.max_abs_error(ev, lossy_ops.reconstruct_swing(segs))
+
+
+# ------------------------------------------------------------ registries
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "transcripts_derive": q_transcripts_derive,
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h_cascade": q_rollup_1h_cascade,
+        "rollup_1d_cascade": q_rollup_1d_cascade,
+        "rollup_1d_from_blocks": q_rollup_1d_from_blocks,
+        "rollup_from_decoded": q_rollup_from_decoded,
+        "codec_roundtrip_len": q_codec_roundtrip_len,
+        "codec_roundtrip_words": q_codec_roundtrip_words,
+        "codec_roundtrip_dfcm": q_codec_roundtrip_dfcm,
+        "gapfill_1h_locf": q_gapfill_1h_locf,
+        "gapfill_1d_null": q_gapfill_1d_null,
+        "retention_serve": q_retention_serve,
+        "retention_expire_1h": q_retention_expire_1h,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "events_top3": q_events_top3,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_jaccard,
+        "minhash_signatures": q_minhash_sigs,
+        "dedup_minhash_lsh": q_dedup_lsh,
+        "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine,
+        "ann_lsh_topk": q_ann_lsh,
+        "embedding_dup_pairs": q_embedding_dups,
+        "lang_id": _textstat_query(textstats.lang_id_cols),
+        "quality_score": _textstat_query(textstats.quality_cols),
+        "token_count": _textstat_query(textstats.token_count_cols),
+        "doc_fingerprint": _textstat_query(textstats.fingerprint_cols),
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
+        "block_stats": q_block_stats,
+        "lossy_pmc_bound": q_lossy_pmc,
+        "lossy_swing_bound": q_lossy_swing,
+    }
+
+
+def _gapfill_locf_sql(bucket_ms: int) -> str:
+    return _with_transcripts(f"""{_PTS_SQL},
+{_rollup_sql(bucket_ms, 'r')},
+s AS (SELECT conv_id, min(bucket) AS b0, max(bucket) AS b1 FROM r GROUP BY conv_id),
+g AS (SELECT conv_id, unnest(generate_series(b0, b1, {bucket_ms})) AS bucket FROM s),
+j AS (SELECT g.conv_id, g.bucket, r.cnt, r.vmin, r.vmax, r.vsum
+      FROM g LEFT JOIN r ON r.conv_id = g.conv_id AND r.bucket = g.bucket)
+SELECT conv_id, bucket, coalesce(cnt, 0) AS cnt,
+       last_value(vmin IGNORE NULLS) OVER w AS vmin,
+       last_value(vmax IGNORE NULLS) OVER w AS vmax,
+       last_value(vsum IGNORE NULLS) OVER w AS vsum,
+       (cnt IS NULL) AS is_gap
+FROM j
+WINDOW w AS (PARTITION BY conv_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+
+
+def _gapfill_null_sql(bucket_ms: int) -> str:
+    return _with_transcripts(f"""{_PTS_SQL},
+{_rollup_sql(bucket_ms, 'r')},
+s AS (SELECT conv_id, min(bucket) AS b0, max(bucket) AS b1 FROM r GROUP BY conv_id),
+g AS (SELECT conv_id, unnest(generate_series(b0, b1, {bucket_ms})) AS bucket FROM s)
+SELECT g.conv_id, g.bucket, r.cnt, r.vmin, r.vmax, r.vsum,
+       (r.cnt IS NULL) AS is_gap
+FROM g LEFT JOIN r ON r.conv_id = g.conv_id AND r.bucket = g.bucket""")
+
+
+def _retention_serve_sql() -> str:
+    d = DAY_MS
+    return _with_transcripts(f"""{_PTS_SQL},
+{_rollup_sql(MINUTE_MS, 'r1m')},
+{_rollup_sql(HOUR_MS, 'r1h')},
+{_rollup_sql(DAY_MS, 'r1d')},
+mx AS (SELECT CAST(floor(max(ts_ms) / {d}.0) AS BIGINT) * {d} AS day0 FROM pts)
+SELECT conv_id, bucket, cnt, vmin, vmax, vsum, '1m' AS tier FROM r1m, mx
+WHERE bucket >= day0 - {_POLICY.keep_1m_days * d}
+UNION ALL
+SELECT conv_id, bucket, cnt, vmin, vmax, vsum, '1h' AS tier FROM r1h, mx
+WHERE bucket >= day0 - {_POLICY.keep_1h_days * d}
+  AND bucket < day0 - {_POLICY.keep_1m_days * d}
+UNION ALL
+SELECT conv_id, bucket, cnt, vmin, vmax, vsum, '1d' AS tier FROM r1d, mx
+WHERE bucket < day0 - {_POLICY.keep_1h_days * d}""")
+
+
+def build_oracle_sql() -> dict[str, str]:
+    roundtrip_len = _with_transcripts(
+        f"{_PTS_SQL}\nSELECT conv_id, ts_ms, v FROM pts")
+    words = P.tokens("text", P.DUCK)
+    return {
+        "transcripts_derive": transcripts_oracle_sql(),
+        "rollup_1m": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(MINUTE_MS)}"),
+        "rollup_1h_cascade": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(HOUR_MS)}"),
+        "rollup_1d_cascade": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(DAY_MS)}"),
+        "rollup_1d_from_blocks": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(DAY_MS)}"),
+        # encode→decode→rollup must equal rolling up the raw points
+        "rollup_from_decoded": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(MINUTE_MS)}"),
+        "codec_roundtrip_len": roundtrip_len,
+        "codec_roundtrip_words": _with_transcripts(
+            "w AS (SELECT conv_id, epoch_ms(ts) AS ts_ms, "
+            f"CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS w "
+            "FROM transcripts)\nSELECT conv_id, ts_ms, w FROM w"),
+        "codec_roundtrip_dfcm": roundtrip_len,
+        "gapfill_1h_locf": _gapfill_locf_sql(HOUR_MS),
+        "gapfill_1d_null": _gapfill_null_sql(DAY_MS),
+        "retention_serve": _retention_serve_sql(),
+        "retention_expire_1h": _with_transcripts(f"""{_PTS_SQL},
+{_rollup_sql(HOUR_MS, 'r')},
+mx AS (SELECT CAST(floor(max(ts_ms) / {DAY_MS}.0) AS BIGINT) * {DAY_MS} AS day0 FROM pts)
+SELECT conv_id, bucket, cnt, vmin, vmax, vsum FROM r, mx
+WHERE bucket >= day0 - {_POLICY.keep_1h_days * DAY_MS}"""),
+        "pricing_summary": PRICING_SQL,
+        "top_orders": TOP_ORDERS_SQL,
+        "events_top3": EVENTS_TOP3_SQL,
+        "dedup_exact": dedup.exact_dedup_sql(),
+        "dedup_ngram_jaccard": dedup.jaccard_pairs_sql(),
+        "minhash_signatures": dedup.minhash_signatures_sql(),
+        "dedup_minhash_lsh": dedup.lsh_pairs_sql(),
+        "simhash": dedup.simhash_sql(),
+        "simhash_near_pairs": SIMHASH_PAIRS_SQL,
+        "ann_cosine_topk": similarity.cosine_topk_sql(),
+        "ann_lsh_topk": similarity.ann_lsh_topk_sql(),
+        "embedding_dup_pairs": similarity.cosine_dup_pairs_sql(tau=0.4),
+        "lang_id": _textstat_sql(textstats.lang_id_cols),
+        "quality_score": _textstat_sql(textstats.quality_cols),
+        "token_count": _textstat_sql(textstats.token_count_cols),
+        "doc_fingerprint": _textstat_sql(textstats.fingerprint_cols),
+        "frame_sample": FRAME_SAMPLE_SQL,
+        # multimodal_features, block_stats, lossy_* : rows-only (non-SQL
+        # kernels: Arrow decode stubs, bit-level codec, sequential filters)
+    }

@@ -35,7 +35,7 @@ SELECT
   CASE WHEN event_type = 'error' THEN 'debugger'
        WHEN event_type = 'purchase' THEN 'checkout'
        ELSE NULL END AS tool,
-  ts
+  CAST(ts AS TIMESTAMP) AS ts
 FROM events
 """
 
