@@ -19,9 +19,9 @@ from .functions.channels import Channel, default_channels
 from .operators.checkpoint import BLOCK_ID_COLS, CheckpointLog, points_group_key_col
 from .operators.encode import (
     BLOCKS_SCHEMA,
-    _make_encode_kernel,
     block_value_column,
     decode_blocks,
+    encode_points,
     points_for_encode,
 )
 from .operators.gapfill import gapfill
@@ -60,8 +60,7 @@ def encode_stage(
         pts = log.pending(
             pts.withColumn("part_key", points_group_key_col()), "encode"
         ).drop("part_key")
-    blocks = pts.groupBy("conv_id", "day", "seq").applyInPandas(
-        _make_encode_kernel(channels, predictor), schema=BLOCKS_SCHEMA)
+    blocks = encode_points(pts, channels, predictor)
     blocks.write.mode("append").parquet(f"{warehouse}/gorilla_blocks")
     # lineage for exactly the rows this run appended = written minus done
     written = read_blocks(spark, warehouse)
