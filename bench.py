@@ -1,0 +1,117 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "encode_turns_per_sec": ..., "bytes_per_point": ...}
+
+The headline job is the north-rule pipeline slice: transcripts →
+Gorilla blocks (3 channels) → day-tier rollup from block metadata,
+reported as turns/sec and compressed bytes/point. The remaining
+queries cover the rollup/gap-fill/retention tiers, the decode path,
+relational operators, and the training-data ops.
+
+Scaling evidence (N vs 4N parallelism) lives in tools/scaling_bench.py
+→ BENCH/BASELINE.md.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+    from pyspark.sql import functions as F
+
+    from gorilla_tsc_spark import queries as Q
+    from gorilla_tsc_spark.operators.encode import encode_blocks
+    from gorilla_tsc_spark.operators.rollup import rollup_from_block_meta
+    from gorilla_tsc_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    timings: dict[str, float] = {}
+
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+    def run(name: str, fn) -> None:
+        best = float("inf")
+        for _ in range(max(reps, 1)):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    # Warm up JVM + Arrow Python workers outside the timed region (the
+    # reference's JMH harness likewise runs 5 warmup iterations,
+    # EncodingBenchmark.java:38-50).
+    t = Q._transcripts(spark, sf_dir)
+    n_turns = t.count()
+    encode_blocks(Q._transcripts(spark, "/root/testdata/sf0.001")).count()
+
+    stats = {}
+
+    def encode_rollup():
+        # pipeline-realistic: encode once → write the blocks tier →
+        # aggregate + day-rollup from the written tier
+        import shutil
+        import tempfile
+        tmp = tempfile.mkdtemp(prefix="bench_blocks_")
+        try:
+            encode_blocks(Q._transcripts(spark, sf_dir)).write.mode(
+                "overwrite").parquet(tmp)
+            blocks = spark.read.parquet(tmp)
+            r = blocks.agg(
+                F.sum("n_points"), F.sum(F.length("payload")),
+                F.count(F.lit(1))).first()
+            tier = rollup_from_block_meta(blocks)
+            stats["tier_rows"] = tier.count()
+            stats["points"], stats["payload_bytes"], stats["blocks"] = r
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    run("encode_rollup", encode_rollup)
+
+    bench_queries = [
+        "rollup_1m", "rollup_1h_cascade", "rollup_1d_from_blocks",
+        "rollup_from_decoded", "codec_roundtrip_len",
+        "gapfill_1h_locf", "retention_serve",
+        "pricing_summary", "top_orders", "events_top3",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "simhash", "ann_cosine_topk", "ann_lsh_topk",
+        "lang_id", "quality_score", "token_count", "doc_fingerprint",
+        "multimodal_features",
+    ]
+    qs = Q.build_queries()
+    for name in bench_queries:
+        run(name, lambda fn=qs[name]: fn(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    enc_sec = timings["encode_rollup"]
+    out = {
+        "metric": "gorilla encode+rollup + engine query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None,
+        "n_turns": n_turns,
+        "encode_turns_per_sec": round(n_turns / enc_sec, 1) if enc_sec else None,
+        "encode_points_per_sec": round(int(stats["points"]) / enc_sec, 1) if enc_sec else None,
+        "bytes_per_point": round(int(stats["payload_bytes"]) / int(stats["points"]), 3),
+        "n_blocks": int(stats["blocks"]),
+        "cores": cores,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

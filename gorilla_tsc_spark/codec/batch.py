@@ -4,17 +4,19 @@ vectorized pass.
 ``encode_block`` (codec/gorilla.py) pays ~200µs of NumPy fixed cost per
 block — fatal when a Spark partition holds tens of thousands of small
 (conv, day) groups. This kernel amortizes everything across the whole
-partition:
+partition and keeps Python-object churn near zero (allocation storms
+from boxed ints are what stop 32 concurrent Arrow workers from
+scaling):
 
 - delta-of-delta, zigzag, dod bucket codes, XOR chain and exact lz/tz
-  run ONCE over the full point arrays (group boundaries handled with
-  masks);
+  run ONCE over the full point arrays (group boundaries via masks);
 - the only sequential state — the leading/trailing window reuse
-  decision (ValueCompressor.java:41-52) — runs in one lean Python loop
-  over precomputed lists (~1µs/point);
-- bit-packing happens in ONE global NumPy scatter: every block's field
-  stream is laid out at a word-aligned offset in a shared uint64
-  buffer, then sliced per block.
+  decision (ValueCompressor.java:41-52) — is a lean Python loop over
+  ONLY the nonzero-XOR points, appending small (≤64) ints that CPython
+  interns, so it allocates almost nothing;
+- every field (value, width) is then laid out in fixed per-row slots of
+  NumPy arrays (width-0 slots pack to nothing) and bit-packed in ONE
+  global scatter with word-aligned per-block offsets.
 
 Output payloads are bit-identical to feeding each group through
 ``encode_block`` / the reference ``GorillaCompressor`` +
@@ -61,7 +63,9 @@ def encode_partition(starts: np.ndarray, counts: np.ndarray,
         return [], np.zeros(0, np.int64)
     ts = np.asarray(ts, dtype=np.int64)
     vbits = np.asarray(vbits, dtype=np.uint64)
-    ends = starts + counts - 1
+    starts = np.asarray(starts, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    block_ts = np.asarray(block_ts, dtype=np.int64)
 
     is_first = np.zeros(n, dtype=bool)
     is_first[starts] = True
@@ -69,6 +73,7 @@ def encode_partition(starts: np.ndarray, counts: np.ndarray,
     # --- timestamps: per-row live delta (storedDelta == previous row's
     # actual delta; dod==0 keeps them equal, so the chain is exact) ---
     delta = np.empty(n, dtype=np.int64)
+    delta[0] = 0
     delta[1:] = ts[1:] - ts[:-1]
     first_delta = (ts[starts] - block_ts).astype(np.int32).astype(np.int64)
     delta = delta.astype(np.int32).astype(np.int64)
@@ -83,111 +88,118 @@ def encode_partition(starts: np.ndarray, counts: np.ndarray,
         [dod == 0, small & (zz < 128), small & (zz < 512), small & (zz < 4096)],
         [0, (0x02 << 7) | zz, (0x06 << 9) | zz, (0x0E << 12) | zz],
         default=(0x0F << 32) | zz,
-    )
+    ).astype(np.uint64)
     ts_width = np.select(
         [dod == 0, small & (zz < 128), small & (zz < 512), small & (zz < 4096)],
         [1, 9, 12, 16], default=36,
-    )
+    ).astype(np.int64)
 
     # --- values: XOR vs previous row, exact lz/tz ---
     xor = np.empty(n, dtype=np.uint64)
     xor[1:] = vbits[1:] ^ vbits[:-1]
     xor[0] = 0
+    xor[starts] = 0  # first rows emit raw value, not xor
     lz_a = clz64(xor)
     tz_a = ctz64(xor)
 
-    # --- sequential emission loop (window state + field stream) ---
-    vals: list[int] = []
-    widths: list[int] = []
-    va, wa = vals.append, widths.append
-    tcode = ts_code.tolist()
-    twidth = ts_width.tolist()
-    xor_l = xor.tolist()
-    lz_l = lz_a.tolist()
-    tz_l = tz_a.tolist()
-    vb_l = vbits.tolist()
-    ts_l = None  # ts only needed via precomputed codes
-    fd_l = first_delta.tolist()
-    bts_l = np.asarray(block_ts, dtype=np.int64).tolist()
-    starts_l = starts.tolist()
-    counts_l = counts.tolist()
+    nz_mask = (xor != 0)  # implies not first
+    nz_idx = np.flatnonzero(nz_mask)
 
-    fstart = np.empty(G + 1, dtype=np.int64)  # field index at block start
-    cw = 0
-    bit_base = np.empty(G + 1, dtype=np.int64)
+    # --- sequential window chain over nonzero-XOR points only ---
+    pos = np.searchsorted(nz_idx, starts).tolist() + [len(nz_idx)]
+    lz_nz = lz_a[nz_idx].tolist()
+    tz_nz = tz_a[nz_idx].tolist()
+    new_l: list[int] = []
+    sig_l: list[int] = []
+    shf_l: list[int] = []
+    na, sa, ha = new_l.append, sig_l.append, shf_l.append
     for g in range(G):
-        s = starts_l[g]
-        c = counts_l[g]
-        fstart[g] = len(vals)
-        bit_base[g] = cw
-        # header + first point
-        va(bts_l[g] & U64)
-        wa(64)
-        va(fd_l[g] & _MASK27)
-        wa(FIRST_DELTA_BITS)
-        va(vb_l[s])
-        wa(64)
-        cw += 64 + FIRST_DELTA_BITS + 64
-        slz, stz = 1 << 30, 0
-        for i in range(s + 1, s + c):
-            va(tcode[i])
-            w = twidth[i]
-            x = xor_l[i]
-            if x == 0:
-                va(0)
-                wa(w)
-                wa(1)
-                cw += w + 1
-                continue
-            lz = lz_l[i]
-            tz = tz_l[i]
+        slz = 1 << 30
+        stz = 0
+        for k in range(pos[g], pos[g + 1]):
+            lz = lz_nz[k]
+            tz = tz_nz[k]
             if lz >= slz and tz >= stz:
-                sig = 64 - slz - stz
-                va(0b10)
-                va(x >> stz)
-                wa(w)
-                wa(2)
-                wa(sig)
-                cw += w + 2 + sig
+                na(0)
+                sa(64 - slz - stz)
+                ha(stz)
             else:
-                sig = 64 - lz - tz
-                va((0b11 << 12) | (lz << 6) | ((sig - 1) & 0x3F))
-                va(x >> tz)
-                wa(w)
-                wa(14)
-                wa(sig)
-                cw += w + 14 + sig
-                slz, stz = lz, tz
-        # terminator: '1111' + 32 ones + one 0 bit
-        va(0x0F)
-        wa(4)
-        va(0xFFFFFFFF)
-        wa(32)
-        va(0)
-        wa(1)
-        cw += 37
-    fstart[G] = len(vals)
-    bit_base[G] = cw
+                na(1)
+                sa(64 - lz - tz)
+                ha(tz)
+                slz = lz
+                stz = tz
+    use_new = np.array(new_l, dtype=bool)
+    em_sig = np.array(sig_l, dtype=np.int64)
+    em_shf = np.array(shf_l, dtype=np.uint64)
+
+    # --- field slot construction: 3 slots per row + 3 per terminator ---
+    V3 = np.zeros((n, 3), dtype=np.uint64)
+    W3 = np.zeros((n, 3), dtype=np.int64)
+    others = ~is_first
+    # slot 0: block header (first row) / ts code
+    V3[starts, 0] = block_ts.astype(np.uint64)
+    W3[starts, 0] = 64
+    V3[others, 0] = ts_code[others]
+    W3[others, 0] = ts_width[others]
+    # slot 1: first delta / value control
+    V3[starts, 1] = (first_delta & _MASK27).astype(np.uint64)
+    W3[starts, 1] = FIRST_DELTA_BITS
+    z_mask = others & ~nz_mask
+    W3[z_mask, 1] = 1  # single 0 bit for xor==0
+    lz_nz_a = lz_a[nz_idx]
+    hdr = np.where(
+        use_new,
+        np.uint64(0b11 << 12) | (lz_nz_a.astype(np.uint64) << np.uint64(6))
+        | ((em_sig - 1).astype(np.uint64) & np.uint64(0x3F)),
+        np.uint64(0b10))
+    V3[nz_idx, 1] = hdr
+    W3[nz_idx, 1] = np.where(use_new, 14, 2)
+    # slot 2: first raw value / meaningful xor bits
+    V3[starts, 2] = vbits[starts]
+    W3[starts, 2] = 64
+    V3[nz_idx, 2] = xor[nz_idx] >> em_shf
+    W3[nz_idx, 2] = em_sig
+
+    # --- flatten with 3 terminator fields after each group ---
+    gid = np.repeat(np.arange(G, dtype=np.int64), counts)
+    F_total = 3 * n + 3 * G
+    V = np.zeros(F_total, dtype=np.uint64)
+    W = np.zeros(F_total, dtype=np.int64)
+    row_off = 3 * np.arange(n, dtype=np.int64) + 3 * gid
+    idx3 = row_off[:, None] + np.arange(3, dtype=np.int64)
+    V[idx3] = V3
+    W[idx3] = W3
+    term_off = 3 * (starts + counts) + 3 * np.arange(G, dtype=np.int64)
+    V[term_off] = 0x0F
+    W[term_off] = 4
+    V[term_off + 1] = 0xFFFFFFFF
+    W[term_off + 1] = 32
+    # third terminator field: one 0 bit
+    W[term_off + 2] = 1
 
     # --- global packing: word-aligned block offsets, one scatter ---
-    W = np.array(widths, dtype=np.int64)
-    V = np.array(vals, dtype=np.uint64)
-    block_bits = np.diff(bit_base)
+    cumw = np.cumsum(W)
+    # field index where each block starts: 3*starts + 3*arange(G)
+    blk_fstart = 3 * starts + 3 * np.arange(G, dtype=np.int64)
+    bit_base = np.where(blk_fstart > 0, cumw[blk_fstart - 1], 0)
+    blk_fend = term_off + 2  # inclusive last field of block
+    block_bits = cumw[blk_fend] - bit_base
     block_words = (block_bits + 63) // 64
     word_off = np.concatenate(([0], np.cumsum(block_words)))
-    fields_per_block = np.diff(fstart)
+    fields_per_block = 3 * counts + 3
     blk = np.repeat(np.arange(G, dtype=np.int64), fields_per_block)
 
-    cumw = np.cumsum(W)
     local_start = (cumw - W) - bit_base[blk]
     gstart = word_off[blk] * 64 + local_start
 
-    wmod = np.where(W == 64, 0, W).astype(np.uint64)
-    mask = np.where(W == 64, np.uint64(U64), (np.uint64(1) << wmod) - np.uint64(1))
-    V &= mask
     word = (gstart >> 6).astype(np.int64)
     avail = 64 - (gstart & 63)
     shift = avail - W
+    # W==64 fields are already full-width; mask others to declared width
+    wmod = np.where(W >= 64, 0, W).astype(np.uint64)
+    mask = np.where(W >= 64, np.uint64(U64), (np.uint64(1) << wmod) - np.uint64(1))
+    V &= mask
     part1 = np.where(shift >= 0, V << np.maximum(shift, 0).astype(np.uint64),
                      V >> np.maximum(-shift, 0).astype(np.uint64))
     buf = np.zeros(int(word_off[-1]) + 1, dtype=np.uint64)

@@ -37,13 +37,25 @@ def _shingle_expr(d: str) -> str:
     return P.shingles3(P.tokens("text", d), d)
 
 
-def shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh_hash) distinct word-3-gram shingle hashes per doc."""
-    return (
-        docs.select("doc_id", F.explode(F.expr(_shingle_expr(P.SPARK))).alias("sh"))
+def shingles(docs: DataFrame, cache: bool = True) -> DataFrame:
+    """(doc_id, sh_hash) distinct word-3-gram shingle hashes per doc.
+
+    Cached by default: every consumer (sizes, inverted-index self-join,
+    minhash) re-reads it, and recomputing the explode+hash+distinct per
+    consumer triples the dominant cost. At warehouse scale this becomes
+    a materialized intermediate table instead of an executor cache.
+    """
+    # documents usually arrive as one parquet split; the char-level hash
+    # lambdas are interpreted (not codegen'd), so spread rows across
+    # cores BEFORE the explode or the whole corpus hashes on one task
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(n, "doc_id")
+        .select("doc_id", F.explode(F.expr(_shingle_expr(P.SPARK))).alias("sh"))
         .select("doc_id", F.expr(P.str_hash("sh", P.SPARK)).alias("sh_hash"))
         .distinct()
     )
+    return sh.persist() if cache else sh
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -60,13 +72,14 @@ def exact_dedup_sql(d: str = P.DUCK) -> str:
 
 
 def jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU,
-                  max_df: int = MAX_DF) -> DataFrame:
+                  max_df: int = MAX_DF, sh: DataFrame | None = None) -> DataFrame:
     """Doc pairs with shingle-set Jaccard ≥ tau.
 
     Inverted-index self-join; per-doc set sizes are a tiny dimension
     broadcast onto the pair counts.
     """
-    sh = shingles(docs)
+    if sh is None:
+        sh = shingles(docs)
     df_ok = sh.groupBy("sh_hash").count().where(F.col("count") <= max_df).select("sh_hash")
     sh = sh.join(F.broadcast(df_ok), "sh_hash")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -115,9 +128,11 @@ WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {tau}
 """
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K,
+                       sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, seed, minhash): K independent universal-hash minima."""
-    sh = shingles(docs)
+    if sh is None:
+        sh = shingles(docs)
     seeded = sh.select(
         "doc_id", "sh_hash",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"))
@@ -148,7 +163,8 @@ def lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS,
     ((seed+13)-weighted sum mod P) so no collect_list ordering is
     involved — the same combine renders in the oracle.
     """
-    sig = minhash_signatures(docs, k)
+    sh = shingles(docs)
+    sig = minhash_signatures(docs, k, sh=sh)
     band = (
         sig.withColumn("band", (F.col("seed") % bands).cast("int"))
         .groupBy("doc_id", "band")
@@ -164,7 +180,8 @@ def lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS,
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    verified = jaccard_pairs(docs, tau=0.0).withColumnRenamed("jaccard", "jaccard_v")
+    verified = jaccard_pairs(docs, tau=0.0, sh=sh).withColumnRenamed(
+        "jaccard", "jaccard_v")
     return (
         cand.join(verified, ["a_id", "b_id"])
         .where(F.col("jaccard_v") >= tau)
@@ -205,8 +222,10 @@ WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= {
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """32-bit SimHash: per token-occurrence hash, ±1 vote per bit."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
     tok = (
-        docs.select("doc_id", F.explode(F.expr(P.tokens("text", P.SPARK))).alias("t"))
+        docs.repartition(n, "doc_id")
+        .select("doc_id", F.explode(F.expr(P.tokens("text", P.SPARK))).alias("t"))
         .select("doc_id", F.expr(P.str_hash("t", P.SPARK)).alias("h"))
     )
     votes = (

@@ -184,8 +184,11 @@ def arrange_for_encode(pts: DataFrame, shuffle_partitions: int | None = None) ->
     sort so block groups are contiguous runs for the batch kernel."""
     n = shuffle_partitions or int(
         pts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # turn_idx exists only to define in-group order; drop it after the
+    # sort so the Arrow transfer to the kernel carries one fewer column
     return (pts.repartition(n, "conv_id", "day", "seq")
-            .sortWithinPartitions("conv_id", "day", "seq", "turn_idx", "ts_ms"))
+            .sortWithinPartitions("conv_id", "day", "seq", "turn_idx", "ts_ms")
+            .drop("turn_idx"))
 
 
 def encode_blocks(transcripts: DataFrame, channels: list[Channel] | None = None,
@@ -215,36 +218,44 @@ def encode_points(pts: DataFrame, channels: list[Channel],
 
 
 def _decode_iter(pdf_iter, predictor: str | None):
+    from ..codec.fastdecode import decode_payload
+
+    fast = predictor in (None, "last_value")
     for pdf in pdf_iter:
-        out_conv, out_chan, out_kind, out_ts = [], [], [], []
-        out_vd, out_vl, out_vl_mask = [], [], []
-        for row in pdf.itertuples(index=False):
-            dec = GorillaDecoder(bytes(row.payload), predictor)
-            ts, bits = dec.read_all()
-            n = len(ts)
-            out_conv.append(np.repeat(row.conv_id, n))
-            out_chan.append(np.repeat(row.channel, n))
-            out_kind.append(np.repeat(row.kind, n))
-            out_ts.append(ts)
-            if row.kind == "double":
-                out_vd.append(bits.view(np.float64))
-                out_vl.append(np.zeros(n, dtype=np.int64))
-                out_vl_mask.append(np.ones(n, dtype=bool))
-            else:
-                # keep exact int64 (e.g. xxhash64 exceeds double precision)
-                out_vl.append(bits.view(np.int64).copy())
-                out_vl_mask.append(np.zeros(n, dtype=bool))
-                out_vd.append(np.full(n, np.nan))
-        if not out_conv:
+        ts_l: list[int] = []
+        v_l: list[int] = []
+        lens = np.empty(len(pdf), dtype=np.int64)
+        payloads = pdf["payload"].tolist()
+        if fast:
+            for i, p in enumerate(payloads):
+                t, v = decode_payload(bytes(p))
+                ts_l.extend(t)
+                v_l.extend(v)
+                lens[i] = len(t)
+        else:
+            for i, p in enumerate(payloads):
+                t, v = GorillaDecoder(bytes(p), predictor).read_all()
+                ts_l.extend(t.tolist())
+                v_l.extend(v.tolist())
+                lens[i] = len(t)
+        n = len(ts_l)
+        if n == 0:
             continue
+        conv = np.repeat(pdf["conv_id"].to_numpy(), lens)
+        chan = np.repeat(pdf["channel"].to_numpy(), lens)
+        kind = np.repeat(pdf["kind"].to_numpy(), lens)
+        bits = np.array(v_l, dtype=np.uint64)
+        is_double = kind == "double"
+        vd = np.where(is_double, bits.view(np.float64), np.nan)
+        # keep exact int64 for long channels (xxhash64 > 2^53)
+        vl = pd.arrays.IntegerArray(bits.view(np.int64).copy(), is_double)
         yield pd.DataFrame({
-            "conv_id": np.concatenate(out_conv),
-            "channel": np.concatenate(out_chan),
-            "kind": np.concatenate(out_kind),
-            "ts_ms": np.concatenate(out_ts),
-            "v_double": np.concatenate(out_vd),
-            "v_long": pd.arrays.IntegerArray(
-                np.concatenate(out_vl), np.concatenate(out_vl_mask)),
+            "conv_id": conv,
+            "channel": chan,
+            "kind": kind,
+            "ts_ms": np.array(ts_l, dtype=np.int64),
+            "v_double": vd,
+            "v_long": vl,
         })
 
 

@@ -44,14 +44,32 @@ def _cos_expr(a: str, b: str, d: str) -> str:
             f"(sqrt({P.dot(a, a, d)}) * sqrt({P.dot(b, b, d)})), 6)")
 
 
+def _prepped(emb: DataFrame, prefix: str) -> DataFrame:
+    """Rename + precompute the vector norm ONCE per side — the oracle's
+    per-pair sqrt(dot(a,a))*sqrt(dot(b,b)) is the same float ops in the
+    same order, so results stay bit-identical while the plan does one
+    self-dot per vector instead of one per pair."""
+    n = emb.sparkSession.sparkContext.defaultParallelism
+    return (emb.repartition(n, "vec_id")
+            .select(F.col("vec_id").alias(f"{prefix}_id"),
+                    F.col("embedding").alias(f"{prefix}_emb"))
+            .withColumn(f"{prefix}_norm", F.expr(
+                f"sqrt({P.dot(prefix + '_emb', prefix + '_emb', P.SPARK)})")))
+
+
+def _pair_cos(qp: str, cp: str):
+    return F.round(
+        F.expr(P.dot(f"{qp}_emb", f"{cp}_emb", P.SPARK))
+        / (F.col(f"{qp}_norm") * F.col(f"{cp}_norm")), 6)
+
+
 def cosine_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD) -> DataFrame:
-    q = (emb.where(F.col("vec_id") % query_mod == 0)
-         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")))
-    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    q = _prepped(emb.where(F.col("vec_id") % query_mod == 0), "q")
+    c = _prepped(emb, "n")
     scored = (
         F.broadcast(q).crossJoin(c)
         .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", F.expr(_cos_expr("q_emb", "n_emb", P.SPARK)))
+        .withColumn("cos", _pair_cos("q", "n"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -77,11 +95,11 @@ SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= {k}
 def cosine_dup_pairs(emb: DataFrame, tau: float = DUP_TAU) -> DataFrame:
     """Embedding near-dup pairs. Sandbox corpus pairs directly; at scale
     run behind ``ann_lsh_topk``'s bucketing (same cosine expression)."""
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    a = _prepped(emb, "a")
+    b = _prepped(emb, "b")
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("cos", F.expr(_cos_expr("a_emb", "b_emb", P.SPARK)))
+        .withColumn("cos", _pair_cos("a", "b"))
         .where(F.col("cos") >= tau)
         .select("a_id", "b_id", "cos")
     )
@@ -117,17 +135,22 @@ def _bucket_expr(emb_col: str, planes: int, d: str) -> str:
 def ann_lsh_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
                  planes: int = LSH_PLANES) -> DataFrame:
     """Approximate top-k: exact cosine, but only within LSH buckets."""
-    bucketed = emb.withColumn(
+    n = emb.sparkSession.sparkContext.defaultParallelism
+    bucketed = emb.repartition(n, "vec_id").withColumn(
         "bucket", F.expr(_bucket_expr("embedding", planes, P.SPARK)))
-    q = (bucketed.where(F.col("vec_id") % query_mod == 0)
-         .select(F.col("vec_id").alias("q_id"),
-                 F.col("embedding").alias("q_emb"), "bucket"))
-    c = bucketed.select(F.col("vec_id").alias("n_id"),
-                        F.col("embedding").alias("n_emb"), "bucket")
+
+    def prep(df: DataFrame, p: str) -> DataFrame:
+        return (df.select(F.col("vec_id").alias(f"{p}_id"),
+                          F.col("embedding").alias(f"{p}_emb"), "bucket")
+                .withColumn(f"{p}_norm", F.expr(
+                    f"sqrt({P.dot(p + '_emb', p + '_emb', P.SPARK)})")))
+
+    q = prep(bucketed.where(F.col("vec_id") % query_mod == 0), "q")
+    c = prep(bucketed, "n")
     scored = (
         F.broadcast(q).join(c, "bucket")
         .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", F.expr(_cos_expr("q_emb", "n_emb", P.SPARK)))
+        .withColumn("cos", _pair_cos("q", "n"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -38,6 +38,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "2g")
+        # local mode = ONE JVM running every task thread: the 1g default
+        # heap GC-thrashes with 32 concurrent tasks and caps scaling.
+        # (On a real cluster this maps to executor memory instead.)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

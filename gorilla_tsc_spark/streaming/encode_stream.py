@@ -1,0 +1,124 @@
+"""Stateful streaming Gorilla encoder via applyInPandasWithState.
+
+The reference codec is logically a streaming operator with five scalars
+of state per series (SURVEY.md §1.3). The batch engine seals one block
+per (conv, day, seq); the streaming twin accumulates points per
+(conv_id, day) group in state and seals a block when either
+
+- the group goes quiet for ``timeout_ms`` (processing-time timeout), or
+- the buffered point count reaches ``points_per_block``.
+
+Sealed blocks are bit-identical to the batch encoder's output for the
+same point set (same encode_partition kernel under the hood via
+encode_block). State carries raw (ts, bits) arrays, NOT codec state:
+Gorilla's 27-bit first delta makes day blocks self-contained, and raw
+buffering keeps state replayable across restarts (checkpointed by the
+state store).
+"""
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..codec.gorilla import encode_block
+
+DAY_MS = 86_400_000
+
+STREAM_BLOCKS_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("channel", T.StringType()),
+    T.StructField("block_start", T.LongType()),
+    T.StructField("n_points", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("first_ts", T.LongType()),
+    T.StructField("last_ts", T.LongType()),
+    T.StructField("crc", T.LongType()),
+])
+
+# state: buffered raw points for one (conv_id, day)
+STATE_SCHEMA = T.StructType([
+    T.StructField("ts", T.ArrayType(T.LongType())),
+    T.StructField("vbits", T.ArrayType(T.LongType())),
+])
+
+INPUT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("day", T.LongType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("v", T.DoubleType()),
+])
+
+
+def _seal(conv_id: str, day: int, ts: np.ndarray, vb: np.ndarray) -> tuple:
+    order = np.argsort(ts, kind="mergesort")
+    ts = ts[order]
+    vb = vb[order]
+    enc = encode_block(day * DAY_MS, ts, vb.view(np.uint64))
+    enc.close()
+    payload = enc.to_bytes()
+    return (conv_id, "len", day * DAY_MS, len(ts), payload,
+            int(ts[0]), int(ts[-1]), zlib.crc32(payload))
+
+
+def make_encode_state_fn(points_per_block: int = 65_536,
+                         timeout_ms: int = 60_000):
+    def fn(key, pdf_iter: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        conv_id, day = key[0], int(key[1])
+        if state.hasTimedOut:
+            (ts_l, vb_l) = state.get
+            state.remove()
+            if ts_l:
+                row = _seal(conv_id, day,
+                            np.array(ts_l, np.int64), np.array(vb_l, np.int64))
+                yield pd.DataFrame([row], columns=[f.name for f in
+                                                   STREAM_BLOCKS_SCHEMA.fields])
+            return
+        ts_l, vb_l = (state.get if state.exists else ([], []))
+        ts_l = list(ts_l)
+        vb_l = list(vb_l)
+        for pdf in pdf_iter:
+            ts_l.extend(pdf["ts_ms"].astype("int64").tolist())
+            vb_l.extend(pdf["v"].to_numpy(np.float64)
+                        .view(np.int64).tolist())
+        rows = []
+        while len(ts_l) >= points_per_block:
+            chunk_ts = np.array(ts_l[:points_per_block], np.int64)
+            chunk_vb = np.array(vb_l[:points_per_block], np.int64)
+            ts_l = ts_l[points_per_block:]
+            vb_l = vb_l[points_per_block:]
+            rows.append(_seal(conv_id, day, chunk_ts, chunk_vb))
+        state.update((ts_l, vb_l))
+        state.setTimeoutDuration(timeout_ms)
+        if rows:
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              STREAM_BLOCKS_SCHEMA.fields])
+
+    return fn
+
+
+def stream_encode_blocks(transcripts_stream: DataFrame,
+                         points_per_block: int = 65_536,
+                         timeout_ms: int = 60_000) -> DataFrame:
+    """transcripts stream → sealed Gorilla block stream ('len' channel)."""
+    from pyspark.sql import functions as F
+    pts = transcripts_stream.select(
+        "conv_id",
+        F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / DAY_MS)
+         .cast("long").alias("day"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.length("text").cast("double").alias("v"),
+    )
+    return pts.groupBy("conv_id", "day").applyInPandasWithState(
+        make_encode_state_fn(points_per_block, timeout_ms),
+        outputStructType=STREAM_BLOCKS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

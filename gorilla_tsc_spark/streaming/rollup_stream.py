@@ -1,0 +1,43 @@
+"""Streaming continuous aggregates (the 1m tier as a stream).
+
+The batch engine's 1m rollup is ``groupBy(conv_id, bucket)``; the
+streaming twin is ``withWatermark + groupBy(window(ts, '1 minute'))``
+in append mode: a bucket's row is emitted once its watermark passes,
+so late rows inside the watermark fold into the right bucket and rows
+later than the watermark are dropped (counted by Spark's state-store
+metrics). Downstream tiers (1h/1d) cascade from this output exactly as
+in batch — the (cnt, vmin, vmax, vsum) summary is associative.
+
+Scale: state is one row per (conv_id, active bucket); the watermark
+bounds state size. Partitioning follows groupBy's hash exchange on
+(conv_id, window) — the same key the batch tier shuffles on.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_rollup_1m(transcripts_stream: DataFrame,
+                     watermark: str = "2 minutes",
+                     value_col: str = "len") -> DataFrame:
+    """transcripts stream → per-minute (conv_id, bucket) aggregates.
+
+    ``transcripts_stream`` must carry the input_hint schema. Returns a
+    streaming DataFrame; write with
+    ``df.writeStream.outputMode('append')``.
+    """
+    v = F.length("text").cast("double") if value_col == "len" else F.col(value_col)
+    pts = transcripts_stream.select(
+        "conv_id", F.col("ts").cast("timestamp").alias("ts"), v.alias("v"))
+    agg = (
+        pts.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.min("v").alias("vmin"),
+             F.max("v").alias("vmax"),
+             F.sum("v").alias("vsum"))
+    )
+    return agg.select(
+        "conv_id", F.unix_millis(F.col("w.start")).alias("bucket"),
+        "cnt", "vmin", "vmax", "vsum")

@@ -1,0 +1,75 @@
+"""Structured Streaming: watermarked rollup and stateful block encode."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gorilla_tsc_spark.codec.gorilla import GorillaDecoder
+from gorilla_tsc_spark.operators.rollup import MINUTE_MS, rollup_points
+from gorilla_tsc_spark.sources.transcripts import synthesize_transcripts
+from gorilla_tsc_spark.streaming import stream_encode_blocks, stream_rollup_1m
+
+
+@pytest.fixture(scope="module")
+def transcripts_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_in") / "transcripts")
+    t = synthesize_transcripts(spark, n_convs=20, max_turns=300)
+    t.write.parquet(path)
+    return path
+
+
+def test_stream_rollup_matches_batch(spark, transcripts_dir, tmp_path):
+    batch_t = spark.read.parquet(transcripts_dir)
+    stream_t = spark.readStream.schema(batch_t.schema).parquet(transcripts_dir)
+    out = stream_rollup_1m(stream_t)
+    q = (out.writeStream.format("memory").queryName("roll1m")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM roll1m")
+
+    pts = batch_t.select(
+        "conv_id", F.unix_millis("ts").alias("ts_ms"),
+        F.length("text").cast("double").alias("v"))
+    want = rollup_points(pts, MINUTE_MS, F.col("v"), keys=("conv_id",))
+    # append mode only emits buckets whose watermark passed; every
+    # emitted bucket must match the batch tier exactly, and most buckets
+    # should have been emitted (only the per-conv tail can be withheld)
+    emitted = got.count()
+    assert emitted > 0
+    diff = got.exceptAll(want).count()
+    assert diff == 0, "streaming rollup emitted a bucket batch disagrees with"
+    assert emitted >= want.count() - 20  # ≤ one open bucket per conv
+
+
+def test_stream_encode_blocks_decode(spark, transcripts_dir, tmp_path):
+    batch_t = spark.read.parquet(transcripts_dir)
+    stream_t = spark.readStream.schema(batch_t.schema).parquet(transcripts_dir)
+    blocks = stream_encode_blocks(stream_t, points_per_block=16)
+    q = (blocks.writeStream.format("memory").queryName("gblocks")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM gblocks").collect()
+    assert rows, "no sealed blocks"
+    src = {}
+    for r in batch_t.select(
+            "conv_id",
+            F.floor(F.unix_millis("ts") / 86_400_000).cast("long").alias("day"),
+            F.unix_millis("ts").alias("ts_ms"),
+            F.length("text").cast("double").alias("v")).collect():
+        src.setdefault((r.conv_id, r.day), []).append((r.ts_ms, r.v))
+    for r in rows:
+        ts_dec, bits = GorillaDecoder(bytes(r.payload)).read_all()
+        # full blocks seal at points_per_block; timeout flush seals the
+        # remainder (< points_per_block)
+        assert len(ts_dec) == r.n_points and 1 <= r.n_points <= 16
+        vals = bits.view(np.float64)
+        key = (r.conv_id, r.block_start // 86_400_000)
+        expect = dict(sorted(src[key]))
+        for t, v in zip(ts_dec.tolist(), vals.tolist()):
+            assert expect[t] == v
