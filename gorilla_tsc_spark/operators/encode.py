@@ -193,16 +193,112 @@ def arrange_for_encode(pts: DataFrame, shuffle_partitions: int | None = None) ->
 
 def encode_blocks(transcripts: DataFrame, channels: list[Channel] | None = None,
                   predictor: str | None = None, points_per_block: int = 65_536,
-                  shuffle_partitions: int | None = None) -> DataFrame:
+                  shuffle_partitions: int | None = None,
+                  clustered: bool = False) -> DataFrame:
     """transcripts → gorilla_blocks. One shuffle, keyed (conv_id, day, seq).
 
     Default (last-value predictor) path: partition-batched vectorized
     kernel via mapInPandas. Custom predictors (DFCM) keep the bit-exact
     per-group scalar path.
+
+    ``clustered=True`` declares that each conversation's rows already
+    live inside one input partition (an Iceberg/parquet table bucketed
+    by conv_id, or any conv-contiguous layout with file splitting
+    bounded to whole files). The encode then runs SHUFFLE-FREE: a
+    partition-local sort feeds the batch kernel directly — at warehouse
+    scale this removes the only full-data exchange in the pipeline,
+    which is exactly why the transcripts table should be bucketed by
+    conv_id. The caller is responsible for the clustering invariant
+    (violating it splits a (conv, day, seq) block across partitions —
+    decodable but non-canonical).
     """
     channels = channels or default_channels()
     pts = points_for_encode(transcripts, channels, points_per_block)
+    if clustered and predictor in (None, "last_value"):
+        arranged = pts.sortWithinPartitions(
+            "conv_id", "day", "seq", "turn_idx", "ts_ms").drop("turn_idx")
+        return arranged.mapInPandas(
+            _make_batch_kernel(channels), schema=BLOCKS_SCHEMA)
     return encode_points(pts, channels, predictor, shuffle_partitions)
+
+
+def _make_packed_kernel(channels: list[Channel]):
+    """Kernel over PRE-GROUPED block rows: each input row is one block
+    with primitive array columns (ts + one per channel). The JVM→Python
+    Arrow boundary costs ~2µs per ROW (row→columnar conversion), which
+    does not scale with cores — so the engine ships ~N/50 block rows
+    with array payloads instead of N point rows, and the transfer
+    disappears from the critical path."""
+    import zlib as _zlib
+
+    from ..codec.batch import encode_partition
+
+    chans = [(c.name, c.kind) for c in channels]
+    cols = [f.name for f in BLOCKS_SCHEMA.fields]
+
+    def kernel(pdf_iter):
+        for pdf in pdf_iter:
+            G = len(pdf)
+            if G == 0:
+                continue
+            ts_cells = pdf["ts_arr"].to_numpy()
+            counts = np.fromiter((len(c) for c in ts_cells), np.int64, G)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            ts = np.concatenate(ts_cells).astype(np.int64)
+            g_bts = pdf["day"].to_numpy(np.int64) * DAY_MS
+            ends = starts + counts - 1
+            frames = []
+            for name, kind in chans:
+                col = np.concatenate(pdf[f"ch_{name}_arr"].to_numpy())
+                if kind == "double":
+                    vals = col.astype(np.float64)
+                    bits = vals.view(np.uint64)
+                else:
+                    lv = col.astype(np.int64)
+                    bits = lv.view(np.uint64)
+                    vals = lv.astype(np.float64)
+                payloads, nbits = encode_partition(starts, counts, g_bts, ts, bits)
+                frames.append(pd.DataFrame({
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "channel": name,
+                    "kind": kind,
+                    "block_start": g_bts,
+                    "seq": pdf["seq"].to_numpy(np.int32),
+                    "n_points": counts.astype(np.int32),
+                    "n_bits": nbits,
+                    "payload": payloads,
+                    "first_ts": ts[starts],
+                    "last_ts": ts[ends],
+                    "agg_cnt": counts,
+                    "agg_min": np.minimum.reduceat(vals, starts),
+                    "agg_max": np.maximum.reduceat(vals, starts),
+                    "agg_sum": np.add.reduceat(vals, starts),
+                    "crc": [_zlib.crc32(p) for p in payloads],
+                }, columns=cols))
+            yield pd.concat(frames) if len(frames) > 1 else frames[0]
+
+    return kernel
+
+
+def pack_blocks(pts: DataFrame, channels: list[Channel]) -> DataFrame:
+    """Group point rows into one row per block with primitive array
+    columns, entirely JVM-side: collect_list of a struct whose leading
+    fields are the canonical order key (turn_idx, ts_ms), sort_array
+    (lexicographic ⇒ exactly that order), then per-field transform()
+    to struct-of-arrays form that Arrow ships columnar."""
+    chan_cols = [f"ch_{c.name}" for c in channels]
+    struct_fields = [F.col("turn_idx").alias("o"), F.col("ts_ms").alias("t")]
+    struct_fields += [F.col(c).alias(c) for c in chan_cols]
+    packed = (
+        pts.groupBy("conv_id", "day", "seq")
+        .agg(F.sort_array(F.collect_list(F.struct(*struct_fields))).alias("p"))
+    )
+    return packed.select(
+        "conv_id", "day", "seq",
+        F.expr("transform(p, x -> x.t)").alias("ts_arr"),
+        *[F.expr(f"transform(p, x -> x.{c})").alias(f"{c}_arr")
+          for c in chan_cols],
+    )
 
 
 def encode_points(pts: DataFrame, channels: list[Channel],
@@ -213,8 +309,8 @@ def encode_points(pts: DataFrame, channels: list[Channel],
         return pts.groupBy("conv_id", "day", "seq").applyInPandas(
             _make_encode_kernel(channels, predictor), schema=BLOCKS_SCHEMA,
         )
-    arranged = arrange_for_encode(pts, shuffle_partitions)
-    return arranged.mapInPandas(_make_batch_kernel(channels), schema=BLOCKS_SCHEMA)
+    return pack_blocks(pts, channels).mapInPandas(
+        _make_packed_kernel(channels), schema=BLOCKS_SCHEMA)
 
 
 def _decode_iter(pdf_iter, predictor: str | None):

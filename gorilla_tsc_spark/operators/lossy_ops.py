@@ -107,6 +107,44 @@ def reconstruct_swing(segs: DataFrame) -> DataFrame:
     return out.select("series", "t", v.cast("double").alias("v_hat"))
 
 
+LOSSY32_SCHEMA = T.StructType([
+    T.StructField("series", T.StringType()),
+    T.StructField("n_points", T.IntegerType()),
+    T.StructField("n_bits", T.LongType()),
+    T.StructField("bits_per_value", T.DoubleType()),
+    T.StructField("max_err", T.DoubleType()),
+    T.StructField("eps", T.DoubleType()),
+])
+
+
+def lossy32_bound(events: DataFrame, log_of_error: int = -3) -> DataFrame:
+    """Quantized Gorilla-32 (LossyCompressor32.java) per series: encode,
+    decode with the standard 32-bit decoder, report size + max |error|
+    (must stay ≤ 2^logOfError). Includes the upstream ``2^space`` XOR
+    quirk, so the bound is checked empirically rather than assumed."""
+    from ..codec.lossy import LossyCompressor32
+    from ..codec.valueonly import Decompressor32
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t", kind="mergesort")
+        vals = pdf["v"].to_numpy(np.float32)
+        enc = LossyCompressor32(log_of_error)
+        for v in vals.tolist():
+            enc.add_float(v)
+        enc.close()
+        dec = Decompressor32(enc.out.to_bytes())
+        got = dec.read_all().view(np.float32).astype(np.float64)
+        err = float(np.max(np.abs(got - vals.astype(np.float64)))) if len(got) else 0.0
+        return pd.DataFrame([(
+            pdf["series"].iloc[0], len(vals), enc.out.total_bits,
+            enc.out.total_bits / max(len(vals), 1), err,
+            2.0 ** log_of_error)],
+            columns=[f.name for f in LOSSY32_SCHEMA.fields])
+
+    return _series_points(events).groupBy("series").applyInPandas(
+        kernel, schema=LOSSY32_SCHEMA)
+
+
 def max_abs_error(events: DataFrame, recon: DataFrame) -> DataFrame:
     """ε-bound audit: join reconstruction back to the source points."""
     pts = _series_points(events).withColumn(

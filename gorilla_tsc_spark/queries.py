@@ -354,6 +354,40 @@ def q_block_stats(spark, sf_dir):
                          / F.sum("n_points"), 3).alias("bits_per_point")))
 
 
+def q_codec_v1_roundtrip(spark, sf_dir):
+    """v1 value-only (64-bit) codec identity over per-user value series."""
+    from .operators.valueonly_ops import decode_valueonly, encode_valueonly
+    ev = load_table(spark, sf_dir, "events")
+    return decode_valueonly(encode_valueonly(ev, word=64), word=64)
+
+
+def q_codec_v32_roundtrip(spark, sf_dir):
+    """32-bit float value-only codec identity (values are float32)."""
+    from .operators.valueonly_ops import decode_valueonly, encode_valueonly
+    ev = load_table(spark, sf_dir, "events")
+    return decode_valueonly(encode_valueonly(ev, word=32), word=32)
+
+
+VALUEONLY_SQL_64 = """
+SELECT 'u' || CAST(user_id AS VARCHAR) AS series,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx,
+       value AS v
+FROM events
+"""
+
+VALUEONLY_SQL_32 = """
+SELECT 'u' || CAST(user_id AS VARCHAR) AS series,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx,
+       CAST(value AS REAL) AS v
+FROM events
+"""
+
+
+def q_lossy32(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return lossy_ops.lossy32_bound(ev, log_of_error=-3)
+
+
 def q_lossy_pmc(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     segs = lossy_ops.pmc_segments(ev, eps=8.0)
@@ -402,6 +436,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "block_stats": q_block_stats,
+        "codec_v1_roundtrip": q_codec_v1_roundtrip,
+        "codec_v32_roundtrip": q_codec_v32_roundtrip,
+        "lossy32_bound": q_lossy32,
         "lossy_pmc_bound": q_lossy_pmc,
         "lossy_swing_bound": q_lossy_swing,
     }
@@ -495,6 +532,8 @@ WHERE bucket >= day0 - {_POLICY.keep_1h_days * DAY_MS}"""),
         "token_count": _textstat_sql(textstats.token_count_cols),
         "doc_fingerprint": _textstat_sql(textstats.fingerprint_cols),
         "frame_sample": FRAME_SAMPLE_SQL,
-        # multimodal_features, block_stats, lossy_* : rows-only (non-SQL
+        "codec_v1_roundtrip": VALUEONLY_SQL_64,
+        "codec_v32_roundtrip": VALUEONLY_SQL_32,
+        # multimodal_features, block_stats, lossy* : rows-only (non-SQL
         # kernels: Arrow decode stubs, bit-level codec, sequential filters)
     }
