@@ -66,6 +66,11 @@ def standalone_cluster(n_executors: int, cores_per_executor: int = 8,
             "spark.executor.cores": str(cores_per_executor),
             "spark.executor.memory": memory_per_executor,
             "spark.cores.max": str(n_executors * cores_per_executor),
+            # co-located executor JVMs must size GC/netty thread pools
+            # for THEIR core slice, not the whole host — otherwise each
+            # of 4 JVMs spins up ~23 GC threads and they thrash
+            "spark.executor.extraJavaOptions":
+                f"-XX:ActiveProcessorCount={cores_per_executor}",
         }
         yield MASTER_URL, conf
     finally:
