@@ -75,6 +75,11 @@ def main() -> None:
             tier = rollup_from_block_meta(blocks)
             stats["tier_rows"] = tier.count()
             stats["points"], stats["payload_bytes"], stats["blocks"] = r
+            stats["chan"] = {
+                row[0]: round(row[1], 2)
+                for row in blocks.groupBy("channel").agg(
+                    (F.sum("n_bits") / F.sum("n_points")).alias("bpp"))
+                .collect()}
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
@@ -106,6 +111,7 @@ def main() -> None:
         "encode_turns_per_sec": round(n_turns / enc_sec, 1) if enc_sec else None,
         "encode_points_per_sec": round(int(stats["points"]) / enc_sec, 1) if enc_sec else None,
         "bytes_per_point": round(int(stats["payload_bytes"]) / int(stats["points"]), 3),
+        "bits_per_point_by_channel": stats["chan"],
         "n_blocks": int(stats["blocks"]),
         "cores": cores,
     }

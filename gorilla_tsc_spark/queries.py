@@ -241,6 +241,51 @@ QUALIFY row_number() OVER (ORDER BY revenue_units DESC, l_orderkey ASC) <= 10
 """
 
 
+def q_events_grouping_sets(spark, sf_dir):
+    """Grouping-sets coverage: per (user, type), per type, grand total."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql("""
+        SELECT user_id, event_type, count(*) AS cnt,
+               CAST(sum(round(value * 1000)) AS BIGINT) AS sum_mils,
+               grouping(user_id) AS g_user, grouping(event_type) AS g_type
+        FROM events
+        GROUP BY GROUPING SETS ((user_id, event_type), (event_type), ())
+    """)
+
+
+EVENTS_GROUPING_SQL = """
+SELECT user_id, event_type, count(*) AS cnt,
+       CAST(sum(round(value * 1000)) AS BIGINT) AS sum_mils,
+       grouping(user_id) AS g_user, grouping(event_type) AS g_type
+FROM events
+GROUP BY GROUPING SETS ((user_id, event_type), (event_type), ())
+"""
+
+
+def q_events_setops(spark, sf_dir):
+    """Set-operation coverage: users seen in clicks EXCEPT purchasers,
+    INTERSECT with error reporters."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql("""
+        SELECT user_id FROM events WHERE event_type = 'click' AND value > 50
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 80
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    """)
+
+
+EVENTS_SETOPS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click' AND value > 50
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 80
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
 def q_events_top3(spark, sf_dir):
     """Window-function coverage: top-3 events per user by value."""
     from pyspark.sql import Window
@@ -420,6 +465,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "events_top3": q_events_top3,
+        "events_grouping_sets": q_events_grouping_sets,
+        "events_setops": q_events_setops,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_sigs,
@@ -518,6 +565,8 @@ WHERE bucket >= day0 - {_POLICY.keep_1h_days * DAY_MS}"""),
         "pricing_summary": PRICING_SQL,
         "top_orders": TOP_ORDERS_SQL,
         "events_top3": EVENTS_TOP3_SQL,
+        "events_grouping_sets": EVENTS_GROUPING_SQL,
+        "events_setops": EVENTS_SETOPS_SQL,
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_ngram_jaccard": dedup.jaccard_pairs_sql(),
         "minhash_signatures": dedup.minhash_signatures_sql(),
