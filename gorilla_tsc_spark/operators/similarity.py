@@ -158,6 +158,71 @@ def ann_lsh_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
             .select("q_id", "n_id", "rank", "cos"))
 
 
+def ann_ivf_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
+                 n_lists: int = 16, n_probe: int = 4, sample: int = 2048,
+                 iters: int = 10, seed: int = 7) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse k-means quantizer → per-list
+    inverted index → queries probe their ``n_probe`` nearest lists.
+
+    Training runs on a bounded driver-side sample (deterministic seed;
+    at 100 TB you train on a fixed-size sample regardless of corpus
+    size — this is the standard FAISS IVF recipe), then centroids
+    broadcast and assignment is a JVM-side argmin over ``n_lists`` dot
+    products. The big side shuffles once, keyed by list id.
+    """
+    import numpy as np
+
+    rows = (emb.select("vec_id", "embedding")
+            .orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(100_000)))
+            .limit(sample).collect())
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+
+    cent = [[float(v) for v in c] for c in C]
+    cent_arr = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cent])
+
+    def best_lists(n: int):
+        idx = F.expr(
+            "transform(array_sort(zip_with(_scores, sequence(0, size(_scores) - 1), "
+            "(s, i) -> struct(-s AS negs, i AS i))), x -> x.i)")
+        return F.slice(idx, 1, n)
+
+    base = emb.withColumn("_cent", cent_arr)
+    c = (base.withColumn("_scores", F.expr(
+            f"transform(_cent, c -> {P.dot('c', 'embedding', P.SPARK)})"))
+         .withColumn("list_id", F.expr(
+             "array_position(_scores, array_max(_scores)) - 1"))
+         .select(F.col("vec_id").alias("n_id"),
+                 F.col("embedding").alias("n_emb"), "list_id")
+         .withColumn("n_norm", F.expr(
+             f"sqrt({P.dot('n_emb', 'n_emb', P.SPARK)})")))
+    q = (base.where(F.col("vec_id") % query_mod == 0)
+         .withColumn("_scores", F.expr(
+             f"transform(_cent, c -> {P.dot('c', 'embedding', P.SPARK)})"))
+         .withColumn("probe", F.explode(best_lists(n_probe)))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("probe").alias("list_id"))
+         .withColumn("q_norm", F.expr(
+             f"sqrt({P.dot('q_emb', 'q_emb', P.SPARK)})")))
+    scored = (F.broadcast(q).join(c, "list_id")
+              .where(F.col("q_id") != F.col("n_id"))
+              .withColumn("cos", _pair_cos("q", "n")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "n_id", "rank", "cos"))
+
+
 def ann_lsh_topk_sql(d: str = P.DUCK, k: int = TOPK, query_mod: int = QUERY_MOD,
                      planes: int = LSH_PLANES) -> str:
     cos = _cos_expr("q.embedding", "c.embedding", d)

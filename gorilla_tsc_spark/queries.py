@@ -349,6 +349,12 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_topk(_emb(spark, sf_dir))
 
 
+def q_ann_ivf(spark, sf_dir):
+    # rows-only: the coarse quantizer trains on a seeded sample (FAISS
+    # IVF recipe) — deterministic but not expressible as static SQL
+    return similarity.ann_ivf_topk(_emb(spark, sf_dir))
+
+
 def q_embedding_dups(spark, sf_dir):
     # synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51
     # at sf0.01) — τ=0.4 keeps the result small but non-trivial
@@ -475,6 +481,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "embedding_dup_pairs": q_embedding_dups,
         "lang_id": _textstat_query(textstats.lang_id_cols),
         "quality_score": _textstat_query(textstats.quality_cols),
