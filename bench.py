@@ -85,6 +85,14 @@ def main() -> None:
 
     run("encode_rollup", encode_rollup)
 
+    def encode_span_auto():
+        # compression-optimal blocking: whole-conversation blocks
+        r = (encode_blocks(Q._transcripts(spark, sf_dir), span="auto")
+             .agg(F.sum("n_points"), F.sum(F.length("payload"))).first())
+        stats["auto_points"], stats["auto_bytes"] = int(r[0]), int(r[1])
+
+    run("encode_span_auto", encode_span_auto)
+
     bench_queries = [
         "rollup_1m", "rollup_1h_cascade", "rollup_1d_from_blocks",
         "rollup_from_decoded", "codec_roundtrip_len",
@@ -112,6 +120,8 @@ def main() -> None:
         "encode_points_per_sec": round(int(stats["points"]) / enc_sec, 1) if enc_sec else None,
         "bytes_per_point": round(int(stats["payload_bytes"]) / int(stats["points"]), 3),
         "bits_per_point_by_channel": stats["chan"],
+        "bytes_per_point_span_auto": round(
+            stats["auto_bytes"] / stats["auto_points"], 3),
         "n_blocks": int(stats["blocks"]),
         "cores": cores,
     }

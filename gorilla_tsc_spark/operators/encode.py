@@ -32,6 +32,9 @@ from ..codec.gorilla import GorillaDecoder, encode_block
 from ..functions.channels import Channel, default_channels
 
 DAY_MS = 86_400_000
+# span="auto" block splitting: a step between consecutive points must
+# fit the codec's 32-bit delta; split with safety margin (~23 days)
+GAP_SPLIT_MS = 2_000_000_000
 
 BLOCKS_SCHEMA = T.StructType([
     T.StructField("conv_id", T.StringType()),
@@ -62,14 +65,24 @@ POINTS_SCHEMA = T.StructType([
 
 
 def points_for_encode(transcripts: DataFrame, channels: list[Channel] | None = None,
-                      points_per_block: int = 65_536) -> DataFrame:
-    """Project transcripts down to the numeric rows the encoder shuffles."""
+                      points_per_block: int = 65_536,
+                      span: str = "day") -> DataFrame:
+    """Project transcripts down to the numeric rows the encoder shuffles.
+
+    span="day": one block group per (conv, UTC day, seq) — blocks are
+    day-aligned so the day tier can aggregate block METADATA directly.
+    span="auto": group per (conv, seq); the kernel splits only at
+    >23-day gaps — far fewer blocks on sparse series (header/terminator
+    overhead amortized), at the cost of the metadata-rollup fast path.
+    """
     channels = channels or default_channels()
     ts_ms = F.unix_millis(F.col("ts"))
+    day_col = (F.floor(ts_ms / DAY_MS).cast("long") if span == "day"
+               else F.lit(0).cast("long"))
     return transcripts.select(
         F.col("conv_id"),
         ts_ms.alias("ts_ms"),
-        F.floor(ts_ms / DAY_MS).cast("long").alias("day"),
+        day_col.alias("day"),
         (F.col("turn_idx").cast("long") / points_per_block).cast("int").alias("seq"),
         F.col("turn_idx"),
         *[c.expr().alias(f"ch_{c.name}") for c in channels],
@@ -194,7 +207,7 @@ def arrange_for_encode(pts: DataFrame, shuffle_partitions: int | None = None) ->
 def encode_blocks(transcripts: DataFrame, channels: list[Channel] | None = None,
                   predictor: str | None = None, points_per_block: int = 65_536,
                   shuffle_partitions: int | None = None,
-                  clustered: bool = False) -> DataFrame:
+                  clustered: bool = False, span: str = "day") -> DataFrame:
     """transcripts → gorilla_blocks. One shuffle, keyed (conv_id, day, seq).
 
     Default (last-value predictor) path: partition-batched vectorized
@@ -213,22 +226,23 @@ def encode_blocks(transcripts: DataFrame, channels: list[Channel] | None = None,
     decodable but non-canonical).
     """
     channels = channels or default_channels()
-    pts = points_for_encode(transcripts, channels, points_per_block)
-    if clustered and predictor in (None, "last_value"):
+    pts = points_for_encode(transcripts, channels, points_per_block, span=span)
+    if clustered and predictor in (None, "last_value") and span == "day":
         arranged = pts.sortWithinPartitions(
             "conv_id", "day", "seq", "turn_idx", "ts_ms").drop("turn_idx")
         return arranged.mapInPandas(
             _make_batch_kernel(channels), schema=BLOCKS_SCHEMA)
-    return encode_points(pts, channels, predictor, shuffle_partitions)
+    return encode_points(pts, channels, predictor, shuffle_partitions, span=span)
 
 
-def _make_packed_kernel(channels: list[Channel]):
+def _make_packed_kernel(channels: list[Channel], span: str = "day"):
     """Kernel over PRE-GROUPED block rows: each input row is one block
     with primitive array columns (ts + one per channel). The JVM→Python
     Arrow boundary costs ~2µs per ROW (row→columnar conversion), which
     does not scale with cores — so the engine ships ~N/50 block rows
     with array payloads instead of N point rows, and the transfer
     disappears from the critical path."""
+    span_auto = span == "auto"
     import zlib as _zlib
 
     from ..codec.batch import encode_partition
@@ -245,11 +259,34 @@ def _make_packed_kernel(channels: list[Channel]):
             counts = np.fromiter((len(c) for c in ts_cells), np.int64, G)
             starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
             ts = np.concatenate(ts_cells).astype(np.int64)
-            g_bts = pdf["day"].to_numpy(np.int64) * DAY_MS
+            conv_arr = pdf["conv_id"].to_numpy()
+            seq_arr = pdf["seq"].to_numpy(np.int32)
+            if span_auto:
+                # split only where a same-conv step would overflow the
+                # 32-bit delta (≥ ~24.8 days), then re-derive each
+                # sub-block's header day from its own first point
+                n = len(ts)
+                is_start = np.zeros(n, dtype=bool)
+                is_start[starts] = True
+                gap = np.zeros(n, dtype=bool)
+                gap[1:] = (ts[1:] - ts[:-1]) >= GAP_SPLIT_MS
+                brk = is_start | gap
+                gidx = np.repeat(np.arange(G, dtype=np.int64), counts)
+                starts = np.flatnonzero(brk).astype(np.int64)
+                counts = np.diff(np.concatenate((starts, [n]))).astype(np.int64)
+                conv_arr = conv_arr[gidx[starts]]
+                seq_arr = seq_arr[gidx[starts]]
+                g_bts = (ts[starts] // DAY_MS) * DAY_MS
+                chan_cells = {name: np.concatenate(pdf[f"ch_{name}_arr"].to_numpy())
+                              for name, _ in chans}
+            else:
+                g_bts = pdf["day"].to_numpy(np.int64) * DAY_MS
+                chan_cells = None
             ends = starts + counts - 1
             frames = []
             for name, kind in chans:
-                col = np.concatenate(pdf[f"ch_{name}_arr"].to_numpy())
+                col = (chan_cells[name] if chan_cells is not None else
+                       np.concatenate(pdf[f"ch_{name}_arr"].to_numpy()))
                 if kind == "double":
                     vals = col.astype(np.float64)
                     bits = vals.view(np.uint64)
@@ -259,11 +296,11 @@ def _make_packed_kernel(channels: list[Channel]):
                     vals = lv.astype(np.float64)
                 payloads, nbits = encode_partition(starts, counts, g_bts, ts, bits)
                 frames.append(pd.DataFrame({
-                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "conv_id": conv_arr,
                     "channel": name,
                     "kind": kind,
                     "block_start": g_bts,
-                    "seq": pdf["seq"].to_numpy(np.int32),
+                    "seq": seq_arr,
                     "n_points": counts.astype(np.int32),
                     "n_bits": nbits,
                     "payload": payloads,
@@ -303,14 +340,15 @@ def pack_blocks(pts: DataFrame, channels: list[Channel]) -> DataFrame:
 
 def encode_points(pts: DataFrame, channels: list[Channel],
                   predictor: str | None = None,
-                  shuffle_partitions: int | None = None) -> DataFrame:
+                  shuffle_partitions: int | None = None,
+                  span: str = "day") -> DataFrame:
     """Encode pre-projected point rows (points_for_encode output)."""
     if predictor not in (None, "last_value"):
         return pts.groupBy("conv_id", "day", "seq").applyInPandas(
             _make_encode_kernel(channels, predictor), schema=BLOCKS_SCHEMA,
         )
     return pack_blocks(pts, channels).mapInPandas(
-        _make_packed_kernel(channels), schema=BLOCKS_SCHEMA)
+        _make_packed_kernel(channels, span=span), schema=BLOCKS_SCHEMA)
 
 
 def _decode_iter(pdf_iter, predictor: str | None):

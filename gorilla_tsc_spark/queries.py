@@ -132,6 +132,14 @@ def q_codec_roundtrip_dfcm(spark, sf_dir):
             .select("conv_id", "ts_ms", F.col("v_double").alias("v")))
 
 
+def q_codec_roundtrip_span_auto(spark, sf_dir):
+    """Identity through multi-day (span='auto') blocks: far fewer blocks
+    on sparse series, same decoded points."""
+    blocks = encode_blocks(_transcripts(spark, sf_dir), LEN_CHANNEL, span="auto")
+    return (decode_blocks(blocks)
+            .select("conv_id", "ts_ms", F.col("v_double").alias("v")))
+
+
 def q_rollup_from_decoded(spark, sf_dir):
     """Full engine path: encode → decode → 1m rollup (the self-verifying
     tier build used by the pipeline)."""
@@ -395,14 +403,23 @@ FROM documents WHERE doc_id % 3 = 2
 # ------------------------------------------------- rows-only (non-SQL) ops
 
 def q_block_stats(spark, sf_dir):
-    """Compression accounting per channel (codec-dependent → no oracle)."""
-    blocks = encode_blocks(_transcripts(spark, sf_dir))
-    return (blocks.groupBy("channel")
-            .agg(F.count(F.lit(1)).alias("n_blocks"),
-                 F.sum("n_points").alias("n_points"),
-                 F.sum(F.length("payload")).alias("payload_bytes"),
-                 F.round(F.sum(F.length("payload")) * 8.0
-                         / F.sum("n_points"), 3).alias("bits_per_point")))
+    """Compression accounting per channel and block-span policy
+    (codec-dependent → no oracle). span='auto' amortizes the ~190-bit
+    block header/terminator over whole conversations instead of
+    (conv, day) slivers."""
+    t = _transcripts(spark, sf_dir)
+    out = None
+    for span in ("day", "auto"):
+        blocks = encode_blocks(t, span=span)
+        s = (blocks.groupBy("channel")
+             .agg(F.count(F.lit(1)).alias("n_blocks"),
+                  F.sum("n_points").alias("n_points"),
+                  F.sum(F.length("payload")).alias("payload_bytes"),
+                  F.round(F.sum(F.length("payload")) * 8.0
+                          / F.sum("n_points"), 3).alias("bits_per_point"))
+             .withColumn("span", F.lit(span)))
+        out = s if out is None else out.unionByName(s)
+    return out
 
 
 def q_codec_v1_roundtrip(spark, sf_dir):
@@ -464,6 +481,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip_len": q_codec_roundtrip_len,
         "codec_roundtrip_words": q_codec_roundtrip_words,
         "codec_roundtrip_dfcm": q_codec_roundtrip_dfcm,
+        "codec_roundtrip_span_auto": q_codec_roundtrip_span_auto,
         "gapfill_1h_locf": q_gapfill_1h_locf,
         "gapfill_1d_null": q_gapfill_1d_null,
         "retention_serve": q_retention_serve,
@@ -561,6 +579,7 @@ def build_oracle_sql() -> dict[str, str]:
             f"CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS w "
             "FROM transcripts)\nSELECT conv_id, ts_ms, w FROM w"),
         "codec_roundtrip_dfcm": roundtrip_len,
+        "codec_roundtrip_span_auto": roundtrip_len,
         "gapfill_1h_locf": _gapfill_locf_sql(HOUR_MS),
         "gapfill_1d_null": _gapfill_null_sql(DAY_MS),
         "retention_serve": _retention_serve_sql(),
