@@ -252,7 +252,8 @@ votes AS (
   FROM tok, (SELECT unnest(generate_series(0, {bits - 1})) AS b)
   GROUP BY doc_id, b)
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -260,21 +261,25 @@ FROM votes GROUP BY doc_id
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    At scale: bucket by bit-bands of the signature (same LSH idea) —
-    here the corpus is small enough to pair directly within simhash
-    popcount neighborhoods; kept simple and exact via self-join on a
-    16-bit prefix (pigeonhole: ≤3 flipped bits in 32 leaves one
-    untouched 16-bit half).
+    Exact via pigeonhole banding: the 32-bit signature splits into 4
+    bands of 8 bits; ≤3 flipped bits always leave at least one band
+    untouched, so a positional (band_idx, band_value) equijoin finds
+    every qualifying pair (the old 2×16-bit split only guaranteed
+    hamming ≤ 1).  Candidates then pass the exact bit_count filter;
+    `distinct()` dedups multi-band matches.  Plan: one equijoin on
+    (band_idx, band_value) — LSH-bucketed, never all-pairs.
     """
     s = simhash(docs)
-    half = s.select(
+    band = s.select(
         "doc_id", "simhash",
-        F.explode(F.array(
-            F.expr("simhash >> 16"), F.expr("simhash & 65535"))).alias("half"))
-    a = half.alias("a")
-    b = half.alias("b")
+        F.posexplode(F.array(
+            *[F.expr(f"(simhash >> {8 * i}) & 255") for i in range(4)])
+        ).alias("bi", "bv"))
+    a = band.alias("a")
+    b = band.alias("b")
     return (
-        a.join(b, (F.col("a.half") == F.col("b.half"))
+        a.join(b, (F.col("a.bi") == F.col("b.bi"))
+               & (F.col("a.bv") == F.col("b.bv"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"),
                 F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"))

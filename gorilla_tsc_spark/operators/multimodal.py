@@ -16,8 +16,6 @@ point of keeping metadata in plain columns beside the blob.
 """
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -38,10 +36,15 @@ FEATURES_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("media_type", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
-    T.StructField("crc", T.LongType()),
+    T.StructField("fingerprint", T.LongType()),
+    T.StructField("byte_sum", T.LongType()),
+    T.StructField("distinct_bytes", T.LongType()),
     T.StructField("byte_mean", T.DoubleType()),
     T.StructField("byte_entropy", T.DoubleType()),
-    T.StructField("feat", T.ArrayType(T.DoubleType())),
+    T.StructField("feat_0", T.DoubleType()),
+    T.StructField("feat_1", T.DoubleType()),
+    T.StructField("feat_2", T.DoubleType()),
+    T.StructField("feat_3", T.DoubleType()),
 ])
 
 
@@ -78,23 +81,50 @@ def fake_decode(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8)
 
 
+#: modulus shared with functions/portable.py's rolling hashes
+_HASH_P = 1_000_000_007
+
+
 def _feature_iter(pdf_iter):
+    """Per-payload byte features with oracle-exact arithmetic.
+
+    Every emitted value is either an exact integer, or a single IEEE-754
+    division / sequential left-fold over exact integers — the same
+    operations (in the same order) the DuckDB oracle in
+    ``queries.MULTIMODAL_SQL`` performs, so value hashes match
+    bit-for-bit.  Rounding is deliberately NOT done here: Python's
+    ``round`` is banker's while Spark/DuckDB round half-up, so the
+    query wrapper applies ``F.round(..., 6)`` on the Spark side.
+    """
+    import math
+
     for pdf in pdf_iter:
         rows = []
         for r in pdf.itertuples(index=False):
-            buf = fake_decode(bytes(r.payload))
+            raw = bytes(r.payload)
+            buf = fake_decode(raw)
             n = len(buf)
             if n:
-                hist = np.bincount(buf, minlength=256).astype(np.float64)
-                p = hist[hist > 0] / n
-                entropy = float(-(p * np.log2(p)).sum())
-                mean = float(buf.mean())
-                # 4-bucket byte histogram as the stand-in feature vector
-                feat = [float(x) for x in hist.reshape(4, 64).sum(axis=1) / n]
+                hist = np.bincount(buf, minlength=256)
+                byte_sum = int(buf.sum(dtype=np.int64))
+                distinct = int((hist > 0).sum())
+                mean = byte_sum / n
+                # sequential fold in ascending byte order == oracle's
+                # list_reduce over list(c*log2(c) ORDER BY byte)
+                s = 0.0
+                for c in hist[hist > 0].tolist():
+                    s += c * math.log2(c)
+                entropy = math.log2(n) - s / n
+                feat = [int(x) / n for x in hist.reshape(4, 64).sum(axis=1)]
+                fp = 0
+                for b in raw:
+                    fp = (fp * 31 + b) % _HASH_P
             else:
-                entropy, mean, feat = 0.0, 0.0, [0.0] * 4
-            rows.append((int(r.doc_id), r.media_type, n,
-                         zlib.crc32(bytes(r.payload)), mean, entropy, feat))
+                byte_sum = distinct = fp = 0
+                mean = entropy = 0.0
+                feat = [0.0] * 4
+            rows.append((int(r.doc_id), r.media_type, n, fp, byte_sum,
+                         distinct, mean, entropy, *feat))
         yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
 
 

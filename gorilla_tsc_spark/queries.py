@@ -203,10 +203,12 @@ def q_pricing_summary(spark, sf_dir):
 
 PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_units,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS sum_disc_units,
        count(*) AS cnt
 FROM lineitem
 WHERE l_shipdate <= '1998-09-02'
@@ -237,8 +239,9 @@ def q_top_orders(spark, sf_dir):
 TOP_ORDERS_SQL = """
 WITH rev AS (
   SELECT l_orderkey, o_orderdate,
-         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_units
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS revenue_units
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -343,8 +346,10 @@ WITH s AS ({dedup.simhash_sql(P.DUCK)})
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE ((a.simhash >> 16) = (b.simhash >> 16)
-       OR (a.simhash & 65535) = (b.simhash & 65535))
+WHERE (((a.simhash >> 24) & 255) = ((b.simhash >> 24) & 255)
+       OR ((a.simhash >> 16) & 255) = ((b.simhash >> 16) & 255)
+       OR ((a.simhash >> 8) & 255) = ((b.simhash >> 8) & 255)
+       OR (a.simhash & 255) = (b.simhash & 255))
   AND bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
@@ -383,13 +388,91 @@ def _textstat_sql(cols_fn) -> str:
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Byte features over binary payloads (Arrow mapInPandas kernel).
+
+    The kernel emits raw doubles built only from exact-integer IEEE
+    operations; rounding happens here (Spark round = half-up = DuckDB
+    round; Python round is banker's and must not be used).
+    """
     media = multimodal.attach_media(_docs(spark, sf_dir))
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id", "media_type", "n_bytes", "fingerprint", "byte_sum",
+        "distinct_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        *[F.round(f"feat_{i}", 6).alias(f"feat_{i}") for i in range(4)])
 
 
 def q_frame_sample(spark, sf_dir):
     media = multimodal.attach_media(_docs(spark, sf_dir))
     return multimodal.frame_sample(media)
+
+
+# Oracle for multimodal_features: the payload is encode(text,'utf-8'),
+# so DuckDB can reconstruct the byte stream from hex() nibbles and
+# replay the kernel's arithmetic exactly — sums/counts are exact
+# integers, byte_mean/feat_* are one IEEE division of exact integers,
+# entropy is log2(n) - (sequential ordered fold of c*log2(c))/n
+# (DuckDB log2 verified bit-identical to Python math.log2 on integer
+# inputs), and the fingerprint is the portable (h*31+b) % P fold.
+MULTIMODAL_SQL = """
+WITH media AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents),
+idx AS (
+  SELECT doc_id, hx, n,
+         unnest(generate_series(0, CAST(n AS INT) - 1)) AS i
+  FROM media WHERE n > 0),
+b AS (
+  SELECT doc_id, i,
+         CAST((strpos('0123456789ABCDEF', substr(hx, 2 * i + 1, 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF', substr(hx, 2 * i + 2, 1)) - 1)
+              AS BIGINT) AS bv
+  FROM idx),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(bv) AS BIGINT) AS byte_sum,
+         CAST(count(DISTINCT bv) AS BIGINT) AS distinct_bytes,
+         CAST(sum(CASE WHEN bv < 64 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN bv >= 64 AND bv < 128 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN bv >= 128 AND bv < 192 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN bv >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+  FROM b GROUP BY doc_id),
+hist AS (
+  SELECT doc_id, bv, CAST(count(*) AS BIGINT) AS c
+  FROM b GROUP BY doc_id, bv),
+ent AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)) ORDER BY bv)),
+             (s, v) -> s + v) AS slog
+  FROM hist GROUP BY doc_id),
+fp AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list(bv ORDER BY i)),
+                     (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+  FROM b GROUP BY doc_id)
+SELECT m.doc_id, m.media_type, m.n AS n_bytes,
+       COALESCE(f.fingerprint, 0) AS fingerprint,
+       COALESCE(a.byte_sum, 0) AS byte_sum,
+       COALESCE(a.distinct_bytes, 0) AS distinct_bytes,
+       round(COALESCE(CAST(a.byte_sum AS DOUBLE) / m.n, 0.0), 6) AS byte_mean,
+       round(COALESCE(log2(CAST(m.n AS DOUBLE)) - e.slog / m.n, 0.0), 6)
+           AS byte_entropy,
+       round(COALESCE(CAST(a.c0 AS DOUBLE) / m.n, 0.0), 6) AS feat_0,
+       round(COALESCE(CAST(a.c1 AS DOUBLE) / m.n, 0.0), 6) AS feat_1,
+       round(COALESCE(CAST(a.c2 AS DOUBLE) / m.n, 0.0), 6) AS feat_2,
+       round(COALESCE(CAST(a.c3 AS DOUBLE) / m.n, 0.0), 6) AS feat_3
+FROM media m
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN ent e USING (doc_id)
+LEFT JOIN fp f USING (doc_id)
+"""
 
 
 FRAME_SAMPLE_SQL = """
@@ -607,8 +690,8 @@ WHERE bucket >= day0 - {_POLICY.keep_1h_days * DAY_MS}"""),
         "token_count": _textstat_sql(textstats.token_count_cols),
         "doc_fingerprint": _textstat_sql(textstats.fingerprint_cols),
         "frame_sample": FRAME_SAMPLE_SQL,
+        "multimodal_features": MULTIMODAL_SQL,
         "codec_v1_roundtrip": VALUEONLY_SQL_64,
         "codec_v32_roundtrip": VALUEONLY_SQL_32,
-        # multimodal_features, block_stats, lossy* : rows-only (non-SQL
-        # kernels: Arrow decode stubs, bit-level codec, sequential filters)
+        # block_stats: rows-only (codec-dependent compression accounting)
     }
