@@ -92,24 +92,63 @@ SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= {k}
 """
 
 
-def cosine_dup_pairs(emb: DataFrame, tau: float = DUP_TAU) -> DataFrame:
-    """Embedding near-dup pairs. Sandbox corpus pairs directly; at scale
-    run behind ``ann_lsh_topk``'s bucketing (same cosine expression)."""
-    a = _prepped(emb, "a")
-    b = _prepped(emb, "b")
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("cos", _pair_cos("a", "b"))
-        .where(F.col("cos") >= tau)
-        .select("a_id", "b_id", "cos")
-    )
+DUP_BANDS = 2
 
 
-def cosine_dup_pairs_sql(d: str = P.DUCK, tau: float = DUP_TAU) -> str:
+def cosine_dup_pairs(emb: DataFrame, tau: float = DUP_TAU,
+                     planes: int = LSH_PLANES,
+                     bands: int = DUP_BANDS) -> DataFrame:
+    """Embedding near-dup pairs (cos ≥ τ), LSH-banded.
+
+    The 8-plane sign pattern splits into ``bands`` positional bands; a
+    pair is a candidate iff some band matches (posexplode → equijoin on
+    (band_idx, band_value) — never a cartesian; matches the simhash
+    banding pattern).  Approximate by construction: a near-dup pair
+    split by a hyperplane in every band is missed — that is the
+    standard LSH recall trade-off and the oracle applies the identical
+    band predicate, so parity is exact over the same candidate set.
+    """
+    bits = planes // bands
+    mask = (1 << bits) - 1
+    bucketed = (_prepped(emb, "x")
+                .withColumn("bucket", F.expr(
+                    _bucket_expr("x_emb", planes, P.SPARK))))
+    banded = bucketed.select(
+        "x_id", "x_emb", "x_norm",
+        F.posexplode(F.array(
+            *[F.expr(f"(bucket >> {bits * i}) & {mask}") for i in range(bands)])
+        ).alias("bi", "bv"))
+
+    def side(p: str) -> DataFrame:
+        return banded.select(F.col("x_id").alias(f"{p}_id"),
+                             F.col("x_emb").alias(f"{p}_emb"),
+                             F.col("x_norm").alias(f"{p}_norm"), "bi", "bv")
+
+    a, b = side("a"), side("b")
+    cand = (a.join(b, ["bi", "bv"])
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "a_emb", "a_norm", "b_id", "b_emb", "b_norm")
+            .dropDuplicates(["a_id", "b_id"]))
+    return (cand.withColumn("cos", _pair_cos("a", "b"))
+            .where(F.col("cos") >= tau)
+            .select("a_id", "b_id", "cos"))
+
+
+def cosine_dup_pairs_sql(d: str = P.DUCK, tau: float = DUP_TAU,
+                         planes: int = LSH_PLANES,
+                         bands: int = DUP_BANDS) -> str:
+    bits = planes // bands
+    mask = (1 << bits) - 1
     cos = _cos_expr("a.embedding", "b.embedding", d)
+    pred = " OR ".join(
+        f"((a.bucket >> {bits * i}) & {mask}) = ((b.bucket >> {bits * i}) & {mask})"
+        for i in range(bands))
     return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_expr('embedding', planes, d)} AS bucket
+  FROM embeddings)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos} AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id AND ({pred})
 WHERE {cos} >= {tau}
 """
 
@@ -158,22 +197,46 @@ def ann_lsh_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
             .select("q_id", "n_id", "rank", "cos"))
 
 
-def ann_ivf_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
-                 n_lists: int = 16, n_probe: int = 4, sample: int = 2048,
-                 iters: int = 10, seed: int = 7) -> DataFrame:
-    """IVF (inverted-file) ANN: coarse k-means quantizer → per-list
-    inverted index → queries probe their ``n_probe`` nearest lists.
+IVF_LISTS = 16
+IVF_PROBE = 4
+IVF_DIM = 64
+#: seed offset keeping IVF's LCG stream disjoint from the LSH planes'
+_IVF_SEED_BASE = 100_000
 
-    Training runs on a bounded driver-side sample (deterministic seed;
-    at 100 TB you train on a fixed-size sample regardless of corpus
-    size — this is the standard FAISS IVF recipe), then centroids
-    broadcast and assignment is a JVM-side argmin over ``n_lists`` dot
-    products. The big side shuffles once, keyed by list id.
+
+def ivf_centroids(n_lists: int = IVF_LISTS, dim: int = IVF_DIM) -> list[list[float]]:
+    """Deterministic hash-seeded coarse quantizer.
+
+    Components come from the same integer LCG as the LSH planes (exact
+    int arithmetic, then one exact division) so the DuckDB oracle can
+    embed the identical float literals — this is what makes the IVF
+    query driver-verifiable.  A trained quantizer clusters better (see
+    ``train_ivf_centroids``); the inverted-index plan is identical.
+    """
+    out = []
+    for j in range(n_lists):
+        row = []
+        for i in range(dim):
+            x = (1103515245 * ((_IVF_SEED_BASE + j) * 64 + i) + 12345) % _LCG_M
+            row.append(x / _LCG_M - 0.5)
+        out.append(row)
+    return out
+
+
+def train_ivf_centroids(emb: DataFrame, n_lists: int = IVF_LISTS,
+                        sample: int = 2048, iters: int = 10,
+                        seed: int = 7) -> list[list[float]]:
+    """Sampled k-means quantizer (the standard FAISS IVF recipe).
+
+    Training runs on a bounded driver-side sample — at 100 TB you train
+    on a fixed-size sample regardless of corpus size — with a
+    deterministic seed and a deterministic sample order (xxhash64 of
+    vec_id), so repeated runs return identical centroids.
     """
     import numpy as np
 
     rows = (emb.select("vec_id", "embedding")
-            .orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(100_000)))
+            .orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(100_000)), "vec_id")
             .limit(sample).collect())
     X = np.array([r.embedding for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
@@ -186,8 +249,22 @@ def ann_ivf_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
             if m.any():
                 c = X[m].mean(axis=0)
                 C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return [[float(v) for v in c] for c in C]
 
-    cent = [[float(v) for v in c] for c in C]
+
+def ann_ivf_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
+                 n_probe: int = IVF_PROBE,
+                 centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse quantizer → per-list inverted
+    index → queries probe their ``n_probe`` nearest lists.
+
+    Centroids broadcast as literals; assignment is a JVM-side argmax
+    over ``n_lists`` dot products. The big side shuffles once, keyed by
+    list id.  Pass ``centroids`` (e.g. ``ivf_centroids()`` for the
+    oracle-verifiable deterministic quantizer); ``None`` trains sampled
+    k-means on the corpus (pytest-gated path).
+    """
+    cent = centroids if centroids is not None else train_ivf_centroids(emb)
     cent_arr = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cent])
 
     def best_lists(n: int):
@@ -221,6 +298,61 @@ def ann_ivf_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("q_id", "n_id", "rank", "cos"))
+
+
+def ann_ivf_topk_sql(d: str = P.DUCK, k: int = TOPK, query_mod: int = QUERY_MOD,
+                     n_probe: int = IVF_PROBE,
+                     centroids: list[list[float]] | None = None) -> str:
+    """Oracle for the deterministic-quantizer IVF query.
+
+    The centroid floats are exact literals (repr round-trips doubles),
+    each list score is the same sequential left-fold dot as the Spark
+    side, corpus assignment is rn=1 and query probing rn≤n_probe over
+    (score DESC, list ASC) — matching Spark's first-max
+    ``array_position`` tie-break and ``best_lists`` sort.
+    """
+    cent = centroids if centroids is not None else ivf_centroids()
+
+    def dot_lit(c: list[float], emb: str) -> str:
+        lit = "[" + ", ".join(repr(v) for v in c) + "]"
+        if d == P.SPARK:
+            return P.dot(f"array({', '.join(repr(v) for v in c)})", emb, d)
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(generate_series(1, {len(c)}), "
+                f"i -> ({lit}::DOUBLE[])[i] * CAST({emb}[i] AS DOUBLE))), "
+                f"(s, v) -> s + v)")
+
+    scores = "[" + ",\n     ".join(dot_lit(c, "embedding") for c in cent) + "]"
+    cos = _cos_expr("q.embedding", "c.embedding", d)
+    return f"""
+WITH scored AS (
+  SELECT vec_id, embedding, {scores} AS scores
+  FROM embeddings),
+per_list AS (
+  SELECT vec_id, embedding,
+         unnest(scores) AS s,
+         unnest(generate_series(0, {len(cent) - 1})) AS j
+  FROM scored),
+corpus AS (
+  SELECT vec_id, embedding, j AS list_id FROM (
+    SELECT vec_id, embedding, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS rn
+    FROM per_list) WHERE rn = 1),
+probes AS (
+  SELECT vec_id, embedding, j AS list_id FROM (
+    SELECT vec_id, embedding, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) AS rn
+    FROM per_list WHERE vec_id % {query_mod} = 0) WHERE rn <= {n_probe}),
+scored_pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id, {cos} AS cos
+  FROM probes q JOIN corpus c
+    ON q.list_id = c.list_id AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+  FROM scored_pairs)
+SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= {k}
+"""
 
 
 def ann_lsh_topk_sql(d: str = P.DUCK, k: int = TOPK, query_mod: int = QUERY_MOD,

@@ -363,9 +363,10 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    # rows-only: the coarse quantizer trains on a seeded sample (FAISS
-    # IVF recipe) — deterministic but not expressible as static SQL
-    return similarity.ann_ivf_topk(_emb(spark, sf_dir))
+    # driver-gated via the deterministic hash-seeded quantizer (the
+    # sampled-k-means quantizer is the pytest-gated production path)
+    return similarity.ann_ivf_topk(
+        _emb(spark, sf_dir), centroids=similarity.ivf_centroids())
 
 
 def q_embedding_dups(spark, sf_dir):
@@ -535,20 +536,54 @@ FROM events
 
 
 def q_lossy32(spark, sf_dir):
+    """Quantized Gorilla-32 roundtrip audit, driver-gated as a boolean
+    contract: the Spark side encodes, decodes, and measures the real
+    max |error|; the oracle recomputes per-series point counts and the
+    *expected* verdict (all points decoded, error ≤ 2^logOfError).  A
+    codec regression (missed points or bound violation) flips a cell
+    and reds the hash — the codec's exact bits stay pinned by the
+    golden-vector pytest suite."""
     ev = load_table(spark, sf_dir, "events")
-    return lossy_ops.lossy32_bound(ev, log_of_error=-3)
+    b = lossy_ops.lossy32_bound(ev, log_of_error=-3)
+    return b.select(
+        "series", F.col("n_points").cast("long").alias("n"),
+        ((F.col("max_err") <= F.col("eps"))
+         & (F.col("n_points") > 0)).alias("within_bound"))
 
 
 def q_lossy_pmc(spark, sf_dir):
+    """PMC-MR segments → JVM sequence+explode rebuild → ε-audit.
+    Gated like q_lossy32: n equals the per-series source count only if
+    the reconstruction covers every timestamp exactly once (the
+    DecompressorPmcMr contract), and within_bound holds only if every
+    rebuilt value is within ε of its source."""
     ev = load_table(spark, sf_dir, "events")
     segs = lossy_ops.pmc_segments(ev, eps=8.0)
-    return lossy_ops.max_abs_error(ev, lossy_ops.reconstruct_pmc(segs))
+    audit = lossy_ops.max_abs_error(ev, lossy_ops.reconstruct_pmc(segs))
+    return audit.select(
+        "series", "n", (F.col("max_err") <= F.lit(8.0)).alias("within_bound"))
 
 
 def q_lossy_swing(spark, sf_dir):
+    """SwingFilter segments → a·t+b rebuild → ε-audit (see q_lossy_pmc)."""
     ev = load_table(spark, sf_dir, "events")
     segs = lossy_ops.swing_segments(ev, eps=8.0)
-    return lossy_ops.max_abs_error(ev, lossy_ops.reconstruct_swing(segs))
+    audit = lossy_ops.max_abs_error(ev, lossy_ops.reconstruct_swing(segs))
+    return audit.select(
+        "series", "n", (F.col("max_err") <= F.lit(8.0)).alias("within_bound"))
+
+
+# Oracles for the lossy trio: the sequential filter kernels are not
+# SQL-expressible, but their CONTRACT is — full coverage (one rebuilt
+# value per source point) and the ε bound.  The oracle derives the
+# per-series point count from the events table and asserts the
+# expected verdict; any kernel regression breaks the value hash.
+LOSSY_AUDIT_SQL = """
+SELECT concat('u', user_id) AS series,
+       count(*) AS n,
+       TRUE AS within_bound
+FROM events GROUP BY user_id
+"""
 
 
 # ------------------------------------------------------------ registries
@@ -684,6 +719,7 @@ WHERE bucket >= day0 - {_POLICY.keep_1h_days * DAY_MS}"""),
         "simhash_near_pairs": SIMHASH_PAIRS_SQL,
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(),
+        "ann_ivf_topk": similarity.ann_ivf_topk_sql(),
         "embedding_dup_pairs": similarity.cosine_dup_pairs_sql(tau=0.4),
         "lang_id": _textstat_sql(textstats.lang_id_cols),
         "quality_score": _textstat_sql(textstats.quality_cols),
@@ -693,5 +729,8 @@ WHERE bucket >= day0 - {_POLICY.keep_1h_days * DAY_MS}"""),
         "multimodal_features": MULTIMODAL_SQL,
         "codec_v1_roundtrip": VALUEONLY_SQL_64,
         "codec_v32_roundtrip": VALUEONLY_SQL_32,
+        "lossy32_bound": LOSSY_AUDIT_SQL,
+        "lossy_pmc_bound": LOSSY_AUDIT_SQL,
+        "lossy_swing_bound": LOSSY_AUDIT_SQL,
         # block_stats: rows-only (codec-dependent compression accounting)
     }
