@@ -37,6 +37,13 @@ def _shingle_expr(d: str) -> str:
     return P.shingles3(P.tokens("text", d), d)
 
 
+#: (applicationId, semanticHash(docs)) → persisted shingle DF.  Repeat
+#: invocations over the same input (bench loops, the query registry)
+#: reuse ONE persisted DataFrame instead of stacking a new cache entry
+#: per call, which bounds executor cache growth for the session.
+_SHINGLE_CACHE: dict[tuple[str, int], DataFrame] = {}
+
+
 def shingles(docs: DataFrame, cache: bool = True) -> DataFrame:
     """(doc_id, sh_hash) distinct word-3-gram shingle hashes per doc.
 
@@ -45,6 +52,14 @@ def shingles(docs: DataFrame, cache: bool = True) -> DataFrame:
     consumer triples the dominant cost. At warehouse scale this becomes
     a materialized intermediate table instead of an executor cache.
     """
+    if cache:
+        try:
+            key = (docs.sparkSession.sparkContext.applicationId,
+                   docs.semanticHash())
+        except Exception:
+            key = None
+        if key is not None and key in _SHINGLE_CACHE:
+            return _SHINGLE_CACHE[key]
     # documents usually arrive as one parquet split; the char-level hash
     # lambdas are interpreted (not codegen'd), so spread rows across
     # cores BEFORE the explode or the whole corpus hashes on one task
@@ -55,7 +70,12 @@ def shingles(docs: DataFrame, cache: bool = True) -> DataFrame:
         .select("doc_id", F.expr(P.str_hash("sh", P.SPARK)).alias("sh_hash"))
         .distinct()
     )
-    return sh.persist() if cache else sh
+    if not cache:
+        return sh
+    sh = sh.persist()
+    if key is not None:
+        _SHINGLE_CACHE[key] = sh
+    return sh
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -180,12 +200,34 @@ def lsh_pairs(docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS,
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    verified = jaccard_pairs(docs, tau=0.0, sh=sh).withColumnRenamed(
-        "jaccard", "jaccard_v")
+    # Verify CANDIDATES ONLY — never the full inverted-index self-join
+    # (that would defeat LSH at scale).  Shingle sets semi-join down to
+    # candidate docs, intersections are counted by walking each
+    # candidate pair's shingles (cost ∝ candidate shingle mass, which
+    # LSH keeps small), and per-doc sizes stay the TRUE set sizes.
+    cand_ids = (cand.select(F.col("a_id").alias("doc_id"))
+                .union(cand.select(F.col("b_id").alias("doc_id")))
+                .distinct())
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh_c.select(F.col("doc_id").alias("a_id"), "sh_hash")
+    shb = sh_c.select(F.col("doc_id").alias("b_id"), "sh_hash")
+    inter = (
+        cand.join(sha, "a_id")
+        .join(shb, ["b_id", "sh_hash"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     return (
-        cand.join(verified, ["a_id", "b_id"])
-        .where(F.col("jaccard_v") >= tau)
-        .select("a_id", "b_id", F.col("jaccard_v").alias("jaccard"))
+        inter
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("a_id"),
+                                       F.col("n_sh").alias("a_sh"))), "a_id")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("b_id"),
+                                       F.col("n_sh").alias("b_sh"))), "b_id")
+        .withColumn("jaccard", F.round(
+            F.col("n_inter") / (F.col("a_sh") + F.col("b_sh") - F.col("n_inter")), 6))
+        .where(F.col("jaccard") >= tau)
+        .select("a_id", "b_id", "jaccard")
     )
 
 

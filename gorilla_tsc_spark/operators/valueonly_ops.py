@@ -23,8 +23,14 @@ from pyspark.sql import types as T
 from ..codec.valueonly import (Compressor32, Compressor64, Decompressor32,
                                Decompressor64)
 
+#: sub-block cap: a hot series splits into (series, seq) blocks of at
+#: most this many points, so no single task or payload grows unbounded
+#: (same policy as encode.py's day/seq sub-blocking)
+BLOCK_CAP = 4096
+
 V1_BLOCKS_SCHEMA = T.StructType([
     T.StructField("series", T.StringType()),
+    T.StructField("seq", T.LongType()),
     T.StructField("word", T.IntegerType()),
     T.StructField("n_points", T.IntegerType()),
     T.StructField("n_bits", T.LongType()),
@@ -45,39 +51,47 @@ V32_POINTS_SCHEMA = T.StructType([
 ])
 
 
-def _series_values(events: DataFrame) -> DataFrame:
+def _series_values(events: DataFrame, cap: int) -> DataFrame:
+    """(series, seq, idx, value): per-series order pinned by (ts,
+    event_id), split into ≤cap-point sub-blocks.  One shuffle (the
+    row_number window), reused by the groupBy since (series, seq) is a
+    function of the window's partition key."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return events.select(
         F.concat(F.lit("u"), F.col("user_id")).alias("series"),
-        F.col("ts"), F.col("event_id"), F.col("value"))
+        (F.row_number().over(w) - 1).cast("long").alias("idx"),
+        F.col("value")).withColumn("seq", (F.col("idx") / cap).cast("long"))
 
 
 def _encode_kernel(word: int):
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx", kind="mergesort")
         enc = Compressor64() if word == 64 else Compressor32()
         vals = pdf["value"].to_numpy(np.float64)
+        # vectorized bulk path (codec add_array) — bit-identical to the
+        # scalar add_bits loop, no per-value Python iteration
         if word == 64:
-            for b in vals.view(np.uint64).tolist():
-                enc.add_bits(b)
+            enc.add_array(vals.view(np.uint64))
         else:
-            for b in vals.astype(np.float32).view(np.uint32).tolist():
-                enc.add_bits(b)
+            enc.add_array(vals.astype(np.float32).view(np.uint32))
         enc.close()
         payload = enc.to_bytes()
-        return pd.DataFrame([(pdf["series"].iloc[0], word, enc.n_points,
+        return pd.DataFrame([(key[0], key[1], word, enc.n_points,
                               enc.out.total_bits, payload, zlib.crc32(payload))],
                             columns=[f.name for f in V1_BLOCKS_SCHEMA.fields])
     return kernel
 
 
-def encode_valueonly(events: DataFrame, word: int = 64) -> DataFrame:
-    """events → one value-only block per user series (v1 format)."""
+def encode_valueonly(events: DataFrame, word: int = 64,
+                     cap: int = BLOCK_CAP) -> DataFrame:
+    """events → value-only blocks per (user series, seq) (v1 format)."""
     assert word in (64, 32)
-    return _series_values(events).groupBy("series").applyInPandas(
+    return _series_values(events, cap).groupBy("series", "seq").applyInPandas(
         _encode_kernel(word), schema=V1_BLOCKS_SCHEMA)
 
 
-def _decode_iter(pdf_iter, word: int):
+def _decode_iter(pdf_iter, word: int, cap: int):
     for pdf in pdf_iter:
         rows_s, rows_i, rows_v = [], [], []
         for r in pdf.itertuples(index=False):
@@ -86,7 +100,7 @@ def _decode_iter(pdf_iter, word: int):
             vals = dec.read_all()
             v = vals.view(np.float64 if word == 64 else np.float32)
             rows_s.append(np.repeat(r.series, len(v)))
-            rows_i.append(np.arange(len(v), dtype=np.int64))
+            rows_i.append(r.seq * cap + np.arange(len(v), dtype=np.int64))
             rows_v.append(v)
         if not rows_s:
             continue
@@ -97,7 +111,8 @@ def _decode_iter(pdf_iter, word: int):
         })
 
 
-def decode_valueonly(blocks: DataFrame, word: int = 64) -> DataFrame:
+def decode_valueonly(blocks: DataFrame, word: int = 64,
+                     cap: int = BLOCK_CAP) -> DataFrame:
     schema = V1_POINTS_SCHEMA if word == 64 else V32_POINTS_SCHEMA
-    return blocks.select("series", "payload").mapInPandas(
-        lambda it: _decode_iter(it, word), schema=schema)
+    return blocks.select("series", "seq", "payload").mapInPandas(
+        lambda it: _decode_iter(it, word, cap), schema=schema)
