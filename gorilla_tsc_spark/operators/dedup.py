@@ -263,24 +263,26 @@ WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= {
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """32-bit SimHash: per token-occurrence hash, ±1 vote per bit."""
+    """32-bit SimHash: per token-occurrence hash, ±1 vote per bit.
+
+    Single-pass: one groupBy(doc_id) carrying ``bits`` conditional-sum
+    expressions (pure codegen) — no ``explode(sequence(0,31))`` row
+    blowup and no (doc_id, bit) shuffle dimension; the map-side partial
+    agg ships ``bits`` longs per doc.
+    """
     n = docs.sparkSession.sparkContext.defaultParallelism
     tok = (
         docs.repartition(n, "doc_id")
         .select("doc_id", F.explode(F.expr(P.tokens("text", P.SPARK))).alias("t"))
         .select("doc_id", F.expr(P.str_hash("t", P.SPARK)).alias("h"))
     )
-    votes = (
-        tok.select("doc_id", "h",
-                   F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum(F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)).alias("v"))
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << b"))
-                   .otherwise(F.lit(0))).alias("simhash"))
-    )
+    votes = tok.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1))
+        .alias(f"v{b}") for b in range(bits)])
+    packed = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)" for b in range(bits))
+    return votes.select("doc_id", F.expr(packed).alias("simhash"))
 
 
 def simhash_sql(d: str = P.DUCK, bits: int = 32) -> str:

@@ -51,6 +51,14 @@ BLOCKS_SCHEMA = T.StructType([
     T.StructField("agg_min", T.DoubleType()),
     T.StructField("agg_max", T.DoubleType()),
     T.StructField("agg_sum", T.DoubleType()),
+    # per-UTC-day sub-aggregates (parallel arrays, one entry per day
+    # touched by the block).  Day-span blocks carry one entry; they let
+    # span="auto" multi-day blocks serve the day tier with zero decode.
+    T.StructField("day_buckets", T.ArrayType(T.LongType())),
+    T.StructField("day_cnt", T.ArrayType(T.LongType())),
+    T.StructField("day_min", T.ArrayType(T.DoubleType())),
+    T.StructField("day_max", T.ArrayType(T.DoubleType())),
+    T.StructField("day_sum", T.ArrayType(T.DoubleType())),
     T.StructField("crc", T.LongType()),
 ])
 
@@ -89,6 +97,34 @@ def points_for_encode(transcripts: DataFrame, channels: list[Channel] | None = N
     )
 
 
+def _day_runs(ts: np.ndarray, starts: np.ndarray, counts: np.ndarray):
+    """(sub_starts, sub_counts, split, bucket_ms) for per-day runs
+    within each block.  ``split`` slices per-run arrays back into
+    per-block lists via np.split; channel-independent."""
+    n = len(ts)
+    G = len(starts)
+    db = ts // DAY_MS
+    gid = np.repeat(np.arange(G, dtype=np.int64), counts)
+    brk = np.ones(n, dtype=bool)
+    brk[1:] = (gid[1:] != gid[:-1]) | (db[1:] != db[:-1])
+    sub_starts = np.flatnonzero(brk).astype(np.int64)
+    sub_counts = np.diff(np.concatenate((sub_starts, [n]))).astype(np.int64)
+    runs_per_block = np.bincount(gid[sub_starts], minlength=G)
+    split = np.cumsum(runs_per_block)[:-1]
+    return sub_starts, sub_counts, split, db[sub_starts] * DAY_MS
+
+
+def _day_cols(vals: np.ndarray, sub_starts, sub_counts, split, bucket_ms):
+    """The five day_* column cell-lists for one channel."""
+    return {
+        "day_buckets": np.split(bucket_ms, split),
+        "day_cnt": np.split(sub_counts, split),
+        "day_min": np.split(np.minimum.reduceat(vals, sub_starts), split),
+        "day_max": np.split(np.maximum.reduceat(vals, sub_starts), split),
+        "day_sum": np.split(np.add.reduceat(vals, sub_starts), split),
+    }
+
+
 def _make_encode_kernel(channels: list[Channel], predictor: str | None):
     chans = [(c.name, c.kind) for c in channels]
 
@@ -99,6 +135,9 @@ def _make_encode_kernel(channels: list[Channel], predictor: str | None):
         seq = int(pdf["seq"].iloc[0])
         conv = pdf["conv_id"].iloc[0]
         block_start = day * DAY_MS
+        g_starts = np.array([0], np.int64)
+        g_counts = np.array([len(ts)], np.int64)
+        sub_s, sub_c, split, bkt = _day_runs(ts, g_starts, g_counts)
         rows = []
         for name, kind in chans:
             col = pdf[f"ch_{name}"].to_numpy()
@@ -112,11 +151,15 @@ def _make_encode_kernel(channels: list[Channel], predictor: str | None):
             enc = encode_block(block_start, ts, bits, predictor)
             enc.close()
             payload = enc.to_bytes()
+            d = _day_cols(vals, sub_s, sub_c, split, bkt)
             rows.append((
                 conv, name, kind, block_start, seq,
                 len(ts), enc.n_bits, payload,
                 int(ts[0]), int(ts[-1]),
                 len(ts), float(vals.min()), float(vals.max()), float(vals.sum()),
+                d["day_buckets"][0].tolist(), d["day_cnt"][0].tolist(),
+                d["day_min"][0].tolist(), d["day_max"][0].tolist(),
+                d["day_sum"][0].tolist(),
                 zlib.crc32(payload),
             ))
         return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
@@ -147,7 +190,17 @@ def _make_batch_kernel(channels: list[Channel]):
         day = pdf["day"].to_numpy(np.int64)
         seq = pdf["seq"].to_numpy(np.int64)
         # sorted input ⇒ contiguous runs; day < 2^16 until year 2149,
-        # seq ≤ 2^15 (int32 turn_idx / 65536)
+        # seq ≤ 2^15 (int32 turn_idx / 65536).  Out-of-range keys would
+        # silently merge/split runs, so refuse them loudly.
+        if day.min() < 0 or day.max() >= 1 << 16:
+            raise ValueError(
+                f"day bucket out of range [0, 65536): "
+                f"[{day.min()}, {day.max()}] — pre-1970 or post-2149 "
+                f"timestamps are not encodable by the packed kernel")
+        if len(conv_uniques) >= 1 << 24:
+            raise ValueError(
+                f"{len(conv_uniques)} conversations in one partition "
+                f"overflows the 24-bit run-key slot; repartition finer")
         key = (conv_codes.astype(np.int64) << 40) | (day << 16) | seq
         starts, counts = group_runs(key)
         ts = pdf["ts_ms"].to_numpy(np.int64)
@@ -183,6 +236,7 @@ def _make_batch_kernel(channels: list[Channel]):
                 "agg_min": np.minimum.reduceat(vals, starts),
                 "agg_max": np.maximum.reduceat(vals, starts),
                 "agg_sum": np.add.reduceat(vals, starts),
+                **_day_cols(vals, *_day_runs(ts, starts, counts)),
                 "crc": [_zlib.crc32(p) for p in payloads],
             }, columns=cols))
         yield pd.concat(frames) if len(frames) > 1 else frames[0]
@@ -283,6 +337,7 @@ def _make_packed_kernel(channels: list[Channel], span: str = "day"):
                 g_bts = pdf["day"].to_numpy(np.int64) * DAY_MS
                 chan_cells = None
             ends = starts + counts - 1
+            sub_s, sub_c, split, bkt = _day_runs(ts, starts, counts)
             frames = []
             for name, kind in chans:
                 col = (chan_cells[name] if chan_cells is not None else
@@ -310,6 +365,7 @@ def _make_packed_kernel(channels: list[Channel], span: str = "day"):
                     "agg_min": np.minimum.reduceat(vals, starts),
                     "agg_max": np.maximum.reduceat(vals, starts),
                     "agg_sum": np.add.reduceat(vals, starts),
+                    **_day_cols(vals, sub_s, sub_c, split, bkt),
                     "crc": [_zlib.crc32(p) for p in payloads],
                 }, columns=cols))
             yield pd.concat(frames) if len(frames) > 1 else frames[0]
@@ -344,6 +400,14 @@ def encode_points(pts: DataFrame, channels: list[Channel],
                   span: str = "day") -> DataFrame:
     """Encode pre-projected point rows (points_for_encode output)."""
     if predictor not in (None, "last_value"):
+        if span != "day":
+            # the scalar kernel derives block_ts from the day column and
+            # does no gap splitting — under span="auto" day is 0, so the
+            # first delta (~1.7e12 ms) would truncate to 27 bits and
+            # silently corrupt the stream
+            raise ValueError(
+                f"span={span!r} requires the last_value predictor; "
+                f"custom predictors only support span='day'")
         return pts.groupBy("conv_id", "day", "seq").applyInPandas(
             _make_encode_kernel(channels, predictor), schema=BLOCKS_SCHEMA,
         )

@@ -62,6 +62,27 @@ def with_mean(tier: DataFrame) -> DataFrame:
     return tier.withColumn("vmean", F.col("vsum") / F.col("cnt"))
 
 
+def rollup_from_day_subaggs(blocks: DataFrame) -> DataFrame:
+    """Day tier from the per-day sub-aggregate arrays on block rows —
+    zero decode, valid for ANY span (the archival span='auto' profile's
+    day-tier path: multi-day blocks carry one array entry per UTC day
+    touched, written by the encode kernels)."""
+    z = blocks.select(
+        "conv_id", "channel",
+        F.explode(F.arrays_zip(
+            "day_buckets", "day_cnt", "day_min", "day_max", "day_sum")
+        ).alias("z"))
+    return (
+        z.groupBy("conv_id", "channel", F.col("z.day_buckets").alias("bucket"))
+        .agg(
+            F.sum("z.day_cnt").alias("cnt"),
+            F.min("z.day_min").alias("vmin"),
+            F.max("z.day_max").alias("vmax"),
+            F.sum("z.day_sum").alias("vsum"),
+        )
+    )
+
+
 def rollup_from_block_meta(blocks: DataFrame) -> DataFrame:
     """Day-tier aggregates straight from block metadata — zero decode.
 

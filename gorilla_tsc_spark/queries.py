@@ -28,7 +28,8 @@ from .operators.encode import block_value_column, decode_blocks, encode_blocks
 from .operators.gapfill import gapfill
 from .operators.retention import RetentionPolicy, apply_retention, serve_union
 from .operators.rollup import (DAY_MS, HOUR_MS, MINUTE_MS, cascade,
-                               rollup_from_block_meta, rollup_points)
+                               rollup_from_block_meta,
+                               rollup_from_day_subaggs, rollup_points)
 from .sources.tables import load_table
 from .sources.transcripts import transcripts_from_events, transcripts_oracle_sql
 
@@ -109,6 +110,54 @@ def q_rollup_1d_from_blocks(spark, sf_dir):
     return (rollup_from_block_meta(blocks)
             .where(F.col("channel") == "len")
             .select("conv_id", "bucket", "cnt", "vmin", "vmax", "vsum"))
+
+
+def q_rollup_1d_from_auto_blocks(spark, sf_dir):
+    """Day tier from span='auto' (whole-conversation) blocks' per-day
+    sub-aggregate arrays — the archival profile keeps the zero-decode
+    metadata-rollup fast path.  Same oracle as rollup_1d_from_blocks:
+    exactness of the sub-aggregates is the claim under test."""
+    blocks = encode_blocks(_transcripts(spark, sf_dir), LEN_CHANNEL, span="auto")
+    return (rollup_from_day_subaggs(blocks)
+            .where(F.col("channel") == "len")
+            .select("conv_id", "bucket", "cnt", "vmin", "vmax", "vsum"))
+
+
+def q_stream_rollup_1m(spark, sf_dir):
+    """Structured-Streaming 1m tier, driver-gated by batch replay.
+
+    Transcripts are replayed through a bounded file stream into the
+    production watermark+window+append pipeline
+    (streaming/rollup_stream.py) with Trigger.AvailableNow; a single
+    far-future sentinel row advances the global watermark in the final
+    no-data micro-batch so every real bucket is emitted, then is
+    filtered back out.  The result must hash-match the same oracle as
+    the batch ``rollup_1m`` — streaming/batch tier equivalence.
+    """
+    import tempfile
+    import uuid
+    from datetime import timedelta
+
+    from .sources.transcripts import TRANSCRIPTS_SCHEMA
+    from .streaming.rollup_stream import stream_rollup_1m
+
+    t = _transcripts(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="stream_replay_")
+    t.write.mode("overwrite").parquet(tmp)
+    max_ts = t.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [("__sentinel__", 0, "user", "x", None, max_ts + timedelta(hours=1))],
+        schema=TRANSCRIPTS_SCHEMA)
+    sentinel.write.mode("append").parquet(tmp)
+
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(tmp)
+    agg = stream_rollup_1m(stream)
+    name = f"stream_rollup_1m_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", tmp + "/_ckpt").start())
+    q.awaitTermination()
+    return spark.table(name).where(F.col("conv_id") != "__sentinel__")
 
 
 def q_codec_roundtrip_len(spark, sf_dir):
@@ -595,6 +644,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "rollup_1d_from_blocks": q_rollup_1d_from_blocks,
+        "rollup_1d_from_auto_blocks": q_rollup_1d_from_auto_blocks,
+        "stream_rollup_1m": q_stream_rollup_1m,
         "rollup_from_decoded": q_rollup_from_decoded,
         "codec_roundtrip_len": q_codec_roundtrip_len,
         "codec_roundtrip_words": q_codec_roundtrip_words,
@@ -686,9 +737,11 @@ def build_oracle_sql() -> dict[str, str]:
     return {
         "transcripts_derive": transcripts_oracle_sql(),
         "rollup_1m": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(MINUTE_MS)}"),
+        "stream_rollup_1m": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(MINUTE_MS)}"),
         "rollup_1h_cascade": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(HOUR_MS)}"),
         "rollup_1d_cascade": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(DAY_MS)}"),
         "rollup_1d_from_blocks": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(DAY_MS)}"),
+        "rollup_1d_from_auto_blocks": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(DAY_MS)}"),
         # encode→decode→rollup must equal rolling up the raw points
         "rollup_from_decoded": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(MINUTE_MS)}"),
         "codec_roundtrip_len": roundtrip_len,

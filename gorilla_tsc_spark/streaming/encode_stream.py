@@ -41,10 +41,14 @@ STREAM_BLOCKS_SCHEMA = T.StructType([
     T.StructField("crc", T.LongType()),
 ])
 
-# state: buffered raw points for one (conv_id, day)
+# state: buffered raw points for one (conv_id, day); turn_idx rides
+# along so sealing orders by (turn_idx, ts) exactly like the batch
+# encoder — without it, equal-timestamp points would seal in arrival
+# order and the payload would differ across restarts/retries
 STATE_SCHEMA = T.StructType([
     T.StructField("ts", T.ArrayType(T.LongType())),
     T.StructField("vbits", T.ArrayType(T.LongType())),
+    T.StructField("turn", T.ArrayType(T.LongType())),
 ])
 
 INPUT_SCHEMA = T.StructType([
@@ -52,11 +56,14 @@ INPUT_SCHEMA = T.StructType([
     T.StructField("day", T.LongType()),
     T.StructField("ts_ms", T.LongType()),
     T.StructField("v", T.DoubleType()),
+    T.StructField("turn_idx", T.LongType()),
 ])
 
 
-def _seal(conv_id: str, day: int, ts: np.ndarray, vb: np.ndarray) -> tuple:
-    order = np.argsort(ts, kind="mergesort")
+def _seal(conv_id: str, day: int, ts: np.ndarray, vb: np.ndarray,
+          turn: np.ndarray) -> tuple:
+    # (turn_idx, ts) — the batch encoder's sort keys (encode.py kernel)
+    order = np.lexsort((ts, turn))
     ts = ts[order]
     vb = vb[order]
     enc = encode_block(day * DAY_MS, ts, vb.view(np.uint64))
@@ -72,29 +79,34 @@ def make_encode_state_fn(points_per_block: int = 65_536,
            state: GroupState) -> Iterator[pd.DataFrame]:
         conv_id, day = key[0], int(key[1])
         if state.hasTimedOut:
-            (ts_l, vb_l) = state.get
+            (ts_l, vb_l, tn_l) = state.get
             state.remove()
             if ts_l:
                 row = _seal(conv_id, day,
-                            np.array(ts_l, np.int64), np.array(vb_l, np.int64))
+                            np.array(ts_l, np.int64), np.array(vb_l, np.int64),
+                            np.array(tn_l, np.int64))
                 yield pd.DataFrame([row], columns=[f.name for f in
                                                    STREAM_BLOCKS_SCHEMA.fields])
             return
-        ts_l, vb_l = (state.get if state.exists else ([], []))
+        ts_l, vb_l, tn_l = (state.get if state.exists else ([], [], []))
         ts_l = list(ts_l)
         vb_l = list(vb_l)
+        tn_l = list(tn_l)
         for pdf in pdf_iter:
             ts_l.extend(pdf["ts_ms"].astype("int64").tolist())
             vb_l.extend(pdf["v"].to_numpy(np.float64)
                         .view(np.int64).tolist())
+            tn_l.extend(pdf["turn_idx"].astype("int64").tolist())
         rows = []
         while len(ts_l) >= points_per_block:
             chunk_ts = np.array(ts_l[:points_per_block], np.int64)
             chunk_vb = np.array(vb_l[:points_per_block], np.int64)
+            chunk_tn = np.array(tn_l[:points_per_block], np.int64)
             ts_l = ts_l[points_per_block:]
             vb_l = vb_l[points_per_block:]
-            rows.append(_seal(conv_id, day, chunk_ts, chunk_vb))
-        state.update((ts_l, vb_l))
+            tn_l = tn_l[points_per_block:]
+            rows.append(_seal(conv_id, day, chunk_ts, chunk_vb, chunk_tn))
+        state.update((ts_l, vb_l, tn_l))
         state.setTimeoutDuration(timeout_ms)
         if rows:
             yield pd.DataFrame(rows, columns=[f.name for f in
@@ -114,6 +126,7 @@ def stream_encode_blocks(transcripts_stream: DataFrame,
          .cast("long").alias("day"),
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
         F.length("text").cast("double").alias("v"),
+        F.col("turn_idx").cast("long").alias("turn_idx"),
     )
     return pts.groupBy("conv_id", "day").applyInPandasWithState(
         make_encode_state_fn(points_per_block, timeout_ms),
