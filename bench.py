@@ -95,11 +95,13 @@ def main() -> None:
 
     bench_queries = [
         "rollup_1m", "rollup_1h_cascade", "rollup_1d_from_blocks",
-        "rollup_from_decoded", "codec_roundtrip_len",
+        "rollup_1d_from_auto_blocks", "rollup_from_decoded",
+        "codec_roundtrip_len",
         "gapfill_1h_locf", "retention_serve",
         "pricing_summary", "top_orders", "events_top3",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "simhash", "ann_cosine_topk", "ann_lsh_topk",
+        "simhash", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "embedding_dup_pairs",
         "lang_id", "quality_score", "token_count", "doc_fingerprint",
         "multimodal_features",
     ]
