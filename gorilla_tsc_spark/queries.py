@@ -346,6 +346,80 @@ SELECT user_id FROM events WHERE event_type = 'error'
 """
 
 
+def q_orders_exists_semi(spark, sf_dir):
+    """Semi-join (EXISTS) coverage, TPC-H Q4 shape: order counts per
+    priority for orders having a high-discount line item.  The semi
+    join shuffles on the key only; lineitem is pre-filtered before the
+    exchange (predicate pushdown to the scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0.05)
+    return (orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+ORDERS_EXISTS_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+"""
+
+
+def q_cust_no_orders_anti(spark, sf_dir):
+    """Anti-join (NOT EXISTS) coverage, TPC-H Q22 flavor: customers
+    with no big-ticket order (>300k), counted per market segment with
+    their balance in integer cents (sum CAST to BIGINT on the oracle
+    side — DuckDB HUGEINT would hash as float64)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 300_000)
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+                  .alias("acctbal_cents")))
+
+
+CUST_NO_ORDERS_SQL = """
+SELECT c_mktsegment, count(*) AS n_cust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
+def q_tier_moving_avg(spark, sf_dir):
+    """Window-frame coverage over the engine's own day tier: 7-day
+    moving average (ROWS frame) and day-over-day delta (LAG).  Exact
+    across engines: frame sums/counts aggregate integer-valued doubles
+    and the division is a single IEEE op, rounded identically."""
+    from pyspark.sql import Window
+    t1d = rollup_points(_len_points(spark, sf_dir), DAY_MS, F.col("v"),
+                        keys=("conv_id",))
+    w = Window.partitionBy("conv_id").orderBy("bucket")
+    return t1d.select(
+        "conv_id", "bucket",
+        F.round(F.avg("vsum").over(w.rowsBetween(-6, 0)), 6)
+         .alias("avg_vsum_7d"),
+        (F.col("vsum") - F.lag("vsum").over(w)).alias("delta_vsum"))
+
+
+TIER_MOVING_AVG_SQL_BODY = """
+SELECT conv_id, bucket,
+       round(avg(vsum) OVER (PARTITION BY conv_id ORDER BY bucket
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+           AS avg_vsum_7d,
+       vsum - lag(vsum) OVER (PARTITION BY conv_id ORDER BY bucket)
+           AS delta_vsum
+FROM t1d
+"""
+
+
 def q_events_top3(spark, sf_dir):
     """Window-function coverage: top-3 events per user by value."""
     from pyspark.sql import Window
@@ -660,6 +734,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top3": q_events_top3,
         "events_grouping_sets": q_events_grouping_sets,
         "events_setops": q_events_setops,
+        "orders_exists_semi": q_orders_exists_semi,
+        "cust_no_orders_anti": q_cust_no_orders_anti,
+        "tier_moving_avg": q_tier_moving_avg,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_sigs,
@@ -764,6 +841,11 @@ WHERE bucket >= day0 - {_POLICY.keep_1h_days * DAY_MS}"""),
         "events_top3": EVENTS_TOP3_SQL,
         "events_grouping_sets": EVENTS_GROUPING_SQL,
         "events_setops": EVENTS_SETOPS_SQL,
+        "orders_exists_semi": ORDERS_EXISTS_SQL,
+        "cust_no_orders_anti": CUST_NO_ORDERS_SQL,
+        "tier_moving_avg": _with_transcripts(
+            f"{_PTS_SQL},\n{_rollup_sql(DAY_MS, alias='t1d')}"
+            f"\n{TIER_MOVING_AVG_SQL_BODY}"),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_ngram_jaccard": dedup.jaccard_pairs_sql(),
         "minhash_signatures": dedup.minhash_signatures_sql(),
