@@ -1,0 +1,289 @@
+/* Native fast path for the v2 Gorilla block codec (last-value predictor).
+ *
+ * Same format state machine as codec/fastdecode.py::decode_payload
+ * (GorillaDecompressor.java:42-112 + ValueDecompressor.java:32-54
+ * re-expressed): 64-bit big-endian header timestamp, 27-bit first
+ * delta (0x7FFFFFF = empty), dod bucket codes 0/10/110/1110/1111 with
+ * 7/9/12/32-bit payloads (32-bit 0xFFFFFFFF terminates), value XOR
+ * with leading/trailing window reuse (2-bit control, 5+7-bit header
+ * packed as 12).  Bit-exactness is proven by tests/test_native_kernel.py
+ * against the golden-vector-validated Python decoders.
+ *
+ * The entry points are BATCH calls: one invocation decodes (or encodes)
+ * every block in an Arrow batch, so per-call overhead vanishes.
+ * Compiled lazily by codec/native.py via cc -O2 -shared; absence of a
+ * compiler falls back to the NumPy/Python kernels.
+ */
+#include <stdint.h>
+#include <string.h>
+
+static inline uint64_t load_be(const uint8_t *p) {
+    uint64_t x;
+    memcpy(&x, p, 8);
+    return __builtin_bswap64(x);
+}
+
+#define M27 ((1u << 27) - 1)
+
+/* Decode nblocks payloads from one concatenated byte buffer.
+ *
+ * buf        : all payloads back to back, >= 16 zero bytes appended
+ * byte_off   : per-block start offset into buf (nblocks entries)
+ * nblocks    : number of blocks
+ * ts_out     : output timestamps, capacity = sum(expected)
+ * v_out      : output raw value words, same capacity
+ * out_cnt    : per-block decoded point counts (written)
+ *
+ * Returns total points decoded, or -1 - block_index on overflow of
+ * the provided capacity (cap).
+ */
+int64_t decode_blocks_v2(const uint8_t *buf, const int64_t *byte_off,
+                         int64_t nblocks, int64_t *ts_out, uint64_t *v_out,
+                         int64_t *out_cnt, int64_t cap) {
+    int64_t total = 0;
+    for (int64_t b = 0; b < nblocks; b++) {
+        const uint8_t *base = buf + byte_off[b];
+        int64_t pos;             /* next word index */
+        int bl;                  /* bits left in cur */
+        uint64_t cur;
+
+        uint64_t block_ts = load_be(base);
+        cur = load_be(base + 8);
+        pos = 2;
+        bl = 64;
+
+        int64_t n = 0;
+
+        /* first delta: 27 bits */
+        uint64_t d;
+        if (bl >= 27) {
+            d = (cur >> (bl - 27)) & M27;
+            bl -= 27;
+            if (bl == 0) { cur = load_be(base + 8 * pos); pos++; bl = 64; }
+        } else {
+            d = cur & ((1ull << bl) - 1);
+            int r = 27 - bl;
+            cur = load_be(base + 8 * pos); pos++;
+            d = (d << r) | (cur >> (64 - r));
+            bl = 64 - r;
+        }
+        if (d == M27) { out_cnt[b] = 0; continue; }
+
+        uint64_t val;
+        if (bl == 64) {
+            val = cur;
+            cur = load_be(base + 8 * pos); pos++;
+        } else {
+            val = (cur & ((1ull << bl) - 1)) << (64 - bl);
+            cur = load_be(base + 8 * pos); pos++;
+            val |= cur >> bl;
+        }
+        int64_t ts = (int64_t)block_ts + (int64_t)d;
+        int64_t delta = (int64_t)d;
+        if (total >= cap) return -1 - b;
+        ts_out[total] = ts;
+        v_out[total] = val;
+        total++; n++;
+
+        int slz = 1 << 30;
+        int stz = 0;
+        for (;;) {
+            /* next_clear_bit(4) */
+            unsigned instr = 0;
+            for (int i = 0; i < 4; i++) {
+                instr <<= 1;
+                unsigned bit = (unsigned)((cur >> (bl - 1)) & 1);
+                bl -= 1;
+                if (bl == 0) { cur = load_be(base + 8 * pos); pos++; bl = 64; }
+                if (bit) instr |= 1; else break;
+            }
+            int dd_bits;
+            switch (instr) {
+                case 0x00: dd_bits = 0; break;
+                case 0x02: dd_bits = 7; break;
+                case 0x06: dd_bits = 9; break;
+                case 0x0E: dd_bits = 12; break;
+                default:   dd_bits = 32; break;
+            }
+            if (dd_bits) {
+                int nb = dd_bits;
+                uint64_t dd;
+                if (nb <= bl) {
+                    dd = (cur >> (bl - nb)) & ((nb == 64) ? ~0ull : ((1ull << nb) - 1));
+                    bl -= nb;
+                    if (bl == 0) { cur = load_be(base + 8 * pos); pos++; bl = 64; }
+                } else {
+                    dd = cur & ((1ull << bl) - 1);
+                    nb -= bl;
+                    cur = load_be(base + 8 * pos); pos++;
+                    dd = (dd << nb) | (cur >> (64 - nb));
+                    bl = 64 - nb;
+                }
+                if (dd_bits == 32 && dd == 0xFFFFFFFFull) break;
+                dd = (dd + 1) & 0xFFFFFFFFull;
+                int64_t ddz = (int64_t)(dd >> 1) ^ (-(int64_t)(dd & 1));
+                delta += ddz;
+            }
+            ts += delta;
+            if (total >= cap) return -1 - b;
+            ts_out[total] = ts;
+
+            /* value: next_clear_bit(2) */
+            unsigned c = 0;
+            for (int i = 0; i < 2; i++) {
+                c <<= 1;
+                unsigned bit = (unsigned)((cur >> (bl - 1)) & 1);
+                bl -= 1;
+                if (bl == 0) { cur = load_be(base + 8 * pos); pos++; bl = 64; }
+                if (bit) c |= 1; else break;
+            }
+            if (c >= 2) {
+                if (c == 3) {
+                    int nb = 12;
+                    uint64_t hdr;
+                    if (nb <= bl) {
+                        hdr = (cur >> (bl - nb)) & 0xFFF;
+                        bl -= nb;
+                        if (bl == 0) { cur = load_be(base + 8 * pos); pos++; bl = 64; }
+                    } else {
+                        hdr = cur & ((1ull << bl) - 1);
+                        nb -= bl;
+                        cur = load_be(base + 8 * pos); pos++;
+                        hdr = (hdr << nb) | (cur >> (64 - nb));
+                        bl = 64 - nb;
+                    }
+                    slz = (int)(hdr >> 6);
+                    stz = 64 - (int)((hdr & 0x3F) + 1) - slz;
+                }
+                int nb = 64 - slz - stz;
+                uint64_t x;
+                if (nb <= bl) {
+                    x = (cur >> (bl - nb)) & ((nb == 64) ? ~0ull : ((1ull << nb) - 1));
+                    bl -= nb;
+                    if (bl == 0) { cur = load_be(base + 8 * pos); pos++; bl = 64; }
+                } else {
+                    x = cur & ((1ull << bl) - 1);
+                    nb -= bl;
+                    cur = load_be(base + 8 * pos); pos++;
+                    x = (x << nb) | (cur >> (64 - nb));
+                    bl = 64 - nb;
+                }
+                val ^= x << stz;
+            }
+            v_out[total] = val;
+            total++; n++;
+        }
+        out_cnt[b] = n;
+    }
+    return total;
+}
+
+/* ---------------------------------------------------------------- encode */
+
+typedef struct {
+    uint64_t *w;      /* word buffer (zeroed) */
+    int64_t widx;     /* current word index */
+    int bl;           /* bits left in current word */
+} Writer;
+
+static inline void wr(Writer *o, uint64_t v, int n) {
+    /* write n (1..64) low bits of v, MSB first */
+    if (n < 64) v &= (1ull << n) - 1;
+    if (n <= o->bl) {
+        o->w[o->widx] |= (o->bl - n) ? (v << (o->bl - n)) : v;
+        o->bl -= n;
+        if (o->bl == 0) { o->widx++; o->bl = 64; }
+    } else {
+        int r = n - o->bl;
+        o->w[o->widx] |= v >> r;
+        o->widx++;
+        o->bl = 64;
+        o->w[o->widx] |= v << (64 - r);
+        o->bl = 64 - r;
+        /* bl can't hit 0 here since r < 64 */
+    }
+}
+
+/* Encode nblocks groups (contiguous runs) of (ts, vbits) points.
+ *
+ * starts/counts : per-block run boundaries into ts/vbits
+ * block_ts      : per-block header timestamp
+ * words         : output word buffer, caller-allocated, zeroed,
+ *                 capacity cap_words; blocks are word-aligned
+ * word_off      : per-block start word index (written)
+ * block_bits    : per-block payload bit length (written)
+ *
+ * Returns total words used, or -1 on overflow.
+ */
+int64_t encode_blocks_v2(const int64_t *starts, const int64_t *counts,
+                         const int64_t *block_ts, const int64_t *ts,
+                         const uint64_t *vbits, int64_t nblocks,
+                         uint64_t *words, int64_t cap_words,
+                         int64_t *word_off, int64_t *block_bits) {
+    int64_t widx = 0;
+    for (int64_t b = 0; b < nblocks; b++) {
+        int64_t s = starts[b], n = counts[b];
+        /* worst case words for this block: header 64+27+64 + n*(36+78)
+         * + terminator 37 bits */
+        int64_t worst = (64 + 27 + 64 + 37 + n * 114) / 64 + 2;
+        if (widx + worst > cap_words) return -1;
+        Writer o = { words, widx, 64 };
+        int64_t bts = block_ts[b];
+        wr(&o, (uint64_t)bts, 64);
+        int64_t first_delta = (int32_t)(ts[s] - bts);
+        wr(&o, (uint64_t)first_delta & M27, 27);
+        wr(&o, vbits[s], 64);
+        int64_t ts_prev = ts[s];
+        int64_t delta_prev = first_delta;
+        uint64_t val_prev = vbits[s];
+        int slz = 1 << 30, stz = 0;
+        for (int64_t i = s + 1; i < s + n; i++) {
+            /* timestamp: delta-of-delta buckets (int32 wrap like the
+             * reference's int arithmetic) */
+            int32_t delta = (int32_t)(ts[i] - ts_prev);
+            int32_t dod = (int32_t)(delta - (int32_t)delta_prev);
+            ts_prev = ts[i];
+            delta_prev = (int64_t)delta;
+            if (dod == 0) {
+                wr(&o, 0, 1);
+            } else {
+                /* zz == 0 (dod == -1) takes the 36-bit bucket — the
+                 * reference's "-1 quirk" (batch.py: small = zz >= 1) */
+                uint32_t zz = (((uint32_t)dod << 1) ^ (uint32_t)(dod >> 31)) - 1u;
+                if (zz >= 1u && zz < 128u)       wr(&o, (0x02ull << 7)  | zz, 9);
+                else if (zz >= 1u && zz < 512u)  wr(&o, (0x06ull << 9)  | zz, 12);
+                else if (zz >= 1u && zz < 4096u) wr(&o, (0x0Eull << 12) | zz, 16);
+                else                             wr(&o, (0x0Full << 32) | zz, 36);
+            }
+            /* value: XOR chain with window reuse */
+            uint64_t x = val_prev ^ vbits[i];
+            val_prev = vbits[i];
+            if (x == 0) {
+                wr(&o, 0, 1);
+            } else {
+                int lz = __builtin_clzll(x);
+                int tz = __builtin_ctzll(x);
+                if (lz >= slz && tz >= stz) {
+                    int sig = 64 - slz - stz;
+                    wr(&o, 0b10, 2);
+                    wr(&o, x >> stz, sig);
+                } else {
+                    int sig = 64 - lz - tz;
+                    wr(&o, (0b11ull << 12) | ((uint64_t)lz << 6)
+                           | ((uint64_t)(sig - 1) & 0x3F), 14);
+                    wr(&o, x >> tz, sig);
+                    slz = lz; stz = tz;
+                }
+            }
+        }
+        /* terminator: 0x0F + 0xFFFFFFFF + one zero bit */
+        wr(&o, 0x0F, 4);
+        wr(&o, 0xFFFFFFFFull, 32);
+        wr(&o, 0, 1);
+        int64_t bits = (o.widx - widx) * 64 + (64 - o.bl);
+        word_off[b] = widx;
+        block_bits[b] = bits;
+        widx = o.widx + (o.bl < 64 ? 1 : 0);
+    }
+    return widx;
+}

@@ -1,0 +1,155 @@
+"""Optional native (C) fast path for the v2 codec hot loops.
+
+The DataFrame plan is unchanged — this only swaps the per-partition
+kernel's inner loop, exactly like Spark's own Tungsten/Arrow native
+layers.  ``_gorilla_kernel.c`` is compiled lazily with the system C
+compiler into a source-hash-keyed ``.so`` under the temp dir (one
+compile per node, every executor process dlopens the cached artifact);
+any failure — no compiler, sandboxed filesystem — silently falls back
+to the NumPy/Python kernels, which remain the reference implementation
+and the source of truth for bit-exactness
+(tests/test_native_kernel.py proves C ≡ Python on golden vectors and
+random corpora).
+
+Set ``GORILLA_NATIVE=0`` to disable.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "_gorilla_kernel.c")
+_LIB = None
+_TRIED = False
+
+
+def _build() -> str | None:
+    try:
+        with open(_SRC, "rb") as f:
+            src = f.read()
+    except OSError:
+        return None
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    so = os.path.join(tempfile.gettempdir(), f"gorilla_kernel_{tag}.so")
+    if os.path.exists(so):
+        return so
+    tmp = so + f".{os.getpid()}.tmp"
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            r = subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+                capture_output=True, timeout=120)
+        except (OSError, subprocess.TimeoutExpired):
+            continue
+        if r.returncode == 0:
+            os.replace(tmp, so)  # atomic: concurrent builders converge
+            return so
+    return None
+
+
+def get_lib():
+    """The loaded kernel library, or None (fallback to Python)."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("GORILLA_NATIVE", "1") == "0":
+        return None
+    so = _build()
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.decode_blocks_v2.restype = ctypes.c_int64
+    lib.decode_blocks_v2.argtypes = [
+        u8p, i64p, ctypes.c_int64, i64p, u64p, i64p, ctypes.c_int64]
+    lib.encode_blocks_v2.restype = ctypes.c_int64
+    lib.encode_blocks_v2.argtypes = [
+        i64p, i64p, i64p, i64p, u64p, ctypes.c_int64,
+        u64p, ctypes.c_int64, i64p, i64p]
+    _LIB = lib
+    return _LIB
+
+
+def _p(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def decode_many(payloads: list[bytes], expected: np.ndarray):
+    """Decode many v2 payloads in ONE native call.
+
+    Returns (ts, vbits, counts) or None if the native path is
+    unavailable.  ``expected`` (per-block point counts from block
+    metadata) sizes the output; a count mismatch raises — that would
+    mean corrupt payloads or metadata drift.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(payloads)
+    expected = np.ascontiguousarray(expected, dtype=np.int64)
+    lens = np.fromiter((len(p) for p in payloads), np.int64, n)
+    off = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=off[1:]) if n > 1 else None
+    buf = np.frombuffer(b"".join(payloads) + b"\x00" * 16, dtype=np.uint8)
+    cap = int(expected.sum())
+    ts = np.empty(cap, dtype=np.int64)
+    vb = np.empty(cap, dtype=np.uint64)
+    cnt = np.empty(n, dtype=np.int64)
+    got = lib.decode_blocks_v2(
+        _p(buf, ctypes.c_uint8), _p(off, ctypes.c_int64), n,
+        _p(ts, ctypes.c_int64), _p(vb, ctypes.c_uint64),
+        _p(cnt, ctypes.c_int64), cap)
+    if got < 0:
+        raise ValueError(f"native decode overflow at block {-1 - got}: "
+                         f"payload longer than its n_points metadata")
+    if got != cap or not np.array_equal(cnt, expected):
+        raise ValueError("native decode count mismatch vs block metadata")
+    return ts, vb, cnt
+
+
+def encode_many(starts: np.ndarray, counts: np.ndarray,
+                block_ts: np.ndarray, ts: np.ndarray, vbits: np.ndarray):
+    """Encode many blocks in ONE native call — drop-in for
+    codec/batch.encode_partition.  Returns (payloads, block_bits) or
+    None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    G = len(starts)
+    if G == 0:
+        return [], np.zeros(0, np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    block_ts = np.ascontiguousarray(block_ts, dtype=np.int64)
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    vbits = np.ascontiguousarray(vbits, dtype=np.uint64)
+    # worst case: 114 bits/point + ~192 header/terminator bits per block
+    cap_words = int((int(counts.sum()) * 114 + G * 256) // 64 + 2 * G + 16)
+    words = np.zeros(cap_words, dtype=np.uint64)
+    word_off = np.empty(G, dtype=np.int64)
+    block_bits = np.empty(G, dtype=np.int64)
+    used = lib.encode_blocks_v2(
+        _p(starts, ctypes.c_int64), _p(counts, ctypes.c_int64),
+        _p(block_ts, ctypes.c_int64), _p(ts, ctypes.c_int64),
+        _p(vbits, ctypes.c_uint64), G,
+        _p(words, ctypes.c_uint64), cap_words,
+        _p(word_off, ctypes.c_int64), _p(block_bits, ctypes.c_int64))
+    if used < 0:
+        raise ValueError("native encode word-buffer overflow")
+    allbytes = words[:used].byteswap().tobytes()
+    nbytes = ((block_bits + 7) // 8).tolist()
+    off_l = (word_off * 8).tolist()
+    payloads = [allbytes[o:o + nb] for o, nb in zip(off_l, nbytes)]
+    return payloads, block_bits

@@ -416,14 +416,38 @@ def encode_points(pts: DataFrame, channels: list[Channel],
 
 
 def _decode_iter(pdf_iter, predictor: str | None):
+    from ..codec import native
     from ..codec.fastdecode import decode_payload
 
     fast = predictor in (None, "last_value")
     for pdf in pdf_iter:
+        payloads = pdf["payload"].tolist()
+        if fast:
+            # native C batch decode: one call per Arrow batch, output
+            # presized from block metadata (counts cross-checked)
+            res = native.decode_many(
+                [bytes(p) for p in payloads],
+                pdf["n_points"].to_numpy(np.int64))
+            if res is not None:
+                ts_a, bits, lens = res
+                n = len(ts_a)
+                if n == 0:
+                    continue
+                conv = np.repeat(pdf["conv_id"].to_numpy(), lens)
+                chan = np.repeat(pdf["channel"].to_numpy(), lens)
+                kind = np.repeat(pdf["kind"].to_numpy(), lens)
+                is_double = kind == "double"
+                vd = np.where(is_double, bits.view(np.float64), np.nan)
+                vl = pd.arrays.IntegerArray(bits.view(np.int64).copy(),
+                                            is_double)
+                yield pd.DataFrame({
+                    "conv_id": conv, "channel": chan, "kind": kind,
+                    "ts_ms": ts_a, "v_double": vd, "v_long": vl,
+                })
+                continue
         ts_l: list[int] = []
         v_l: list[int] = []
         lens = np.empty(len(pdf), dtype=np.int64)
-        payloads = pdf["payload"].tolist()
         if fast:
             for i, p in enumerate(payloads):
                 t, v = decode_payload(bytes(p))
@@ -459,7 +483,7 @@ def _decode_iter(pdf_iter, predictor: str | None):
 
 def decode_blocks(blocks: DataFrame, predictor: str | None = None) -> DataFrame:
     """gorilla_blocks → exploded points (narrow op: no shuffle)."""
-    cols = ["conv_id", "channel", "kind", "payload"]
+    cols = ["conv_id", "channel", "kind", "n_points", "payload"]
     return blocks.select(*cols).mapInPandas(
         lambda it: _decode_iter(it, predictor), schema=POINTS_SCHEMA,
     )

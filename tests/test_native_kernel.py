@@ -1,0 +1,104 @@
+"""Native C kernel ≡ Python reference kernels, bit for bit.
+
+The C fast path (codec/native.py + _gorilla_kernel.c) must reproduce
+exactly what the golden-vector-validated Python paths produce:
+- encode: byte-identical payloads + n_bits vs codec/batch.py
+  (encode_partition_numpy), on every last-value golden fixture and on
+  random corpora spanning the dod buckets, XOR window churn, repeats
+  and single-point blocks;
+- decode: identical (ts, value-word) streams vs codec/fastdecode.
+
+When no C compiler is available the module is skipped and the engine
+runs the Python kernels (native.decode_many/encode_many return None).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gorilla_tsc_spark.codec import native
+from gorilla_tsc_spark.codec.batch import encode_partition_numpy
+from gorilla_tsc_spark.codec.fastdecode import decode_payload
+
+from .conftest import fixture_names, load_fixture
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="no C compiler available")
+
+U64 = (1 << 64) - 1
+
+
+def _lv_fixtures():
+    out = []
+    for n in fixture_names():
+        fx = load_fixture(n)
+        if (fx["mode"] == "gorilla64" and fx["input"]["close"]
+                and fx["input"]["points"]):
+            out.append(n)
+    return out
+
+
+@pytest.mark.parametrize("name", _lv_fixtures())
+def test_native_matches_golden(name):
+    fx = load_fixture(name)
+    pts = [(ts, int(v, 16)) for ts, v in fx["input"]["points"]]
+    ts = np.array([p[0] for p in pts], dtype=np.int64)
+    vb = np.array([p[1] for p in pts], dtype=np.uint64)
+    starts = np.array([0], np.int64)
+    counts = np.array([len(pts)], np.int64)
+    bts = np.array([fx["input"]["blockts"]], np.int64)
+    p_ref, bits_ref = encode_partition_numpy(starts, counts, bts, ts, vb)
+    p_nat, bits_nat = native.encode_many(starts, counts, bts, ts, vb)
+    assert p_nat[0] == p_ref[0]
+    assert int(bits_nat[0]) == int(bits_ref[0])
+    t_ref, v_ref = decode_payload(p_ref[0])
+    t_n, v_n, cnt = native.decode_many([p_ref[0]], counts)
+    assert t_n.tolist() == t_ref
+    assert v_n.tolist() == v_ref
+
+
+def _random_partition(seed: int):
+    rng = np.random.default_rng(seed)
+    all_ts, all_vb, starts, counts, bts = [], [], [], [], []
+    pos = 0
+    for g in range(40):
+        n = int(rng.integers(1, 300))
+        t0 = 1_700_000_000_000 + g * 86_400_000
+        ts = t0 + np.cumsum(rng.integers(1, 90_000, n)).astype(np.int64)
+        if g % 4 == 0:          # dod=0 runs + -1 quirk
+            ts = t0 + 1000 * np.arange(n, dtype=np.int64)
+            ts[n // 2:] -= 1
+        kind = g % 3
+        if kind == 0:
+            v = rng.normal(20, 5, n)
+        elif kind == 1:
+            v = np.repeat(rng.normal(10, 1), n)  # xor==0 repeats
+        else:
+            v = rng.integers(0, 1000, n).astype(np.float64)
+        all_ts.append(ts)
+        all_vb.append(v.view(np.uint64))
+        starts.append(pos)
+        counts.append(n)
+        bts.append((int(ts[0]) // 86_400_000) * 86_400_000)
+        pos += n
+    return (np.array(starts, np.int64), np.array(counts, np.int64),
+            np.array(bts, np.int64), np.concatenate(all_ts),
+            np.concatenate(all_vb))
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_native_matches_numpy_random(seed):
+    starts, counts, bts, ts, vb = _random_partition(seed)
+    p_ref, bits_ref = encode_partition_numpy(starts, counts, bts, ts, vb)
+    p_nat, bits_nat = native.encode_many(starts, counts, bts, ts, vb)
+    assert all(a == b for a, b in zip(p_ref, p_nat))
+    assert np.array_equal(np.asarray(bits_ref), np.asarray(bits_nat))
+    t_n, v_n, cnt = native.decode_many(p_ref, counts)
+    off = 0
+    for i, p in enumerate(p_ref):
+        t_ref, v_ref = decode_payload(p)
+        n = len(t_ref)
+        assert t_n[off:off + n].tolist() == t_ref
+        assert v_n[off:off + n].tolist() == v_ref
+        off += n
+    assert off == len(t_n)
