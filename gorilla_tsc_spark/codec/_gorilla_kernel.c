@@ -178,8 +178,6 @@ int64_t decode_blocks_v2(const uint8_t *buf, const int64_t *byte_off,
     return total;
 }
 
-/* ---------------------------------------------------------------- encode */
-
 typedef struct {
     uint64_t *w;      /* word buffer (zeroed) */
     int64_t widx;     /* current word index */
@@ -203,6 +201,143 @@ static inline void wr(Writer *o, uint64_t v, int n) {
         /* bl can't hit 0 here since r < 64 */
     }
 }
+
+/* ------------------------------------------- value-only v1/v32 decode
+ *
+ * Format per codec/valueonly.py (_XorDecoder; Compressor.java:32-139 /
+ * Compressor32.java:36-149 semantics): first value = w raw bits
+ * (canonical NaN terminates), then per value a 2-bit control
+ * (0 = repeat, 10 = reuse window, 11 = new lz/sig header), XOR chain,
+ * canonical-NaN terminator. */
+int64_t decode_values(const uint8_t *buf, const int64_t *byte_off,
+                      int64_t nblocks, int word,
+                      uint64_t *v_out, int64_t *out_cnt, int64_t cap) {
+    const int w = word;
+    const uint64_t nan = (w == 64) ? 0x7FF8000000000000ull : 0x7FC00000ull;
+    const int lz_bits = (w == 64) ? 5 : 4;
+    const int sig_bits = (w == 64) ? 6 : 5;
+    int64_t total = 0;
+    for (int64_t b = 0; b < nblocks; b++) {
+        const uint8_t *base = buf + byte_off[b];
+        uint64_t cur = load_be(base);
+        int64_t pos = 1;
+        int bl = 64;
+        int64_t n = 0;
+
+#define RD(nb, dst) do { \
+    int _n = (nb); uint64_t _v; \
+    if (_n <= bl) { \
+        _v = (cur >> (bl - _n)) & ((_n == 64) ? ~0ull : ((1ull << _n) - 1)); \
+        bl -= _n; \
+        if (bl == 0) { cur = load_be(base + 8 * pos); pos++; bl = 64; } \
+    } else { \
+        _v = cur & ((1ull << bl) - 1); \
+        _n -= bl; \
+        cur = load_be(base + 8 * pos); pos++; \
+        _v = (_v << _n) | (cur >> (64 - _n)); \
+        bl = 64 - _n; \
+    } \
+    (dst) = _v; \
+} while (0)
+
+        uint64_t val;
+        RD(w, val);
+        if (val == nan) { out_cnt[b] = 0; continue; }
+        if (total >= cap) return -1 - b;
+        v_out[total++] = val; n++;
+
+        int slz = 1 << 30, stz = 0;
+        for (;;) {
+            uint64_t bit;
+            RD(1, bit);
+            if (bit) {
+                RD(1, bit);
+                if (bit) {
+                    uint64_t hslz, hsig;
+                    RD(lz_bits, hslz);
+                    RD(sig_bits, hsig);
+                    slz = (int)hslz;
+                    int sig = (int)hsig;
+                    if (sig == 0) sig = w;
+                    stz = w - sig - slz;
+                }
+                uint64_t x;
+                RD(w - slz - stz, x);
+                x = (x << stz) & ((w == 64) ? ~0ull : ((1ull << w) - 1));
+                val ^= x;
+                if (val == nan) break;
+            }
+            if (total >= cap) return -1 - b;
+            v_out[total++] = val; n++;
+        }
+#undef RD
+        out_cnt[b] = n;
+    }
+    return total;
+}
+
+/* ------------------------------------------- value-only v1/v32 encode */
+static inline void enc_one_value(void *op, int w, int lz_cap_at, int lz_cap_to,
+                                 int lz_bits, int sig_bits,
+                                 uint64_t xorv, int *slz, int *stz) {
+    Writer *o = (Writer *)op;
+    if (xorv == 0) { wr(o, 0, 1); return; }
+    int lz = __builtin_clzll(xorv) - (64 - w);
+    int tz = __builtin_ctzll(xorv);
+    if (lz >= lz_cap_at) lz = lz_cap_to;
+    wr(o, 1, 1);
+    if (lz >= *slz && tz >= *stz) {
+        int sig = w - *slz - *stz;
+        wr(o, 0, 1);
+        wr(o, xorv >> *stz, sig);
+    } else {
+        int sig = w - lz - tz;
+        wr(o, 1, 1);
+        wr(o, (uint64_t)lz, lz_bits);
+        wr(o, (uint64_t)sig & ((1ull << sig_bits) - 1), sig_bits);
+        wr(o, xorv >> tz, sig);
+        *slz = lz; *stz = tz;
+    }
+}
+
+int64_t encode_values(const int64_t *starts, const int64_t *counts,
+                      const uint64_t *vbits, int64_t nblocks, int word,
+                      uint64_t *words, int64_t cap_words,
+                      int64_t *word_off, int64_t *block_bits) {
+    const int w = word;
+    const uint64_t mask = (w == 64) ? ~0ull : ((1ull << w) - 1);
+    const uint64_t nan = (w == 64) ? 0x7FF8000000000000ull : 0x7FC00000ull;
+    const int lz_cap_at = w / 2, lz_cap_to = w / 2 - 1;
+    const int lz_bits = (w == 64) ? 5 : 4;
+    const int sig_bits = (w == 64) ? 6 : 5;
+    int64_t widx = 0;
+    for (int64_t b = 0; b < nblocks; b++) {
+        int64_t s = starts[b], n = counts[b];
+        int64_t worst = (w + (n + 1) * (2 + lz_bits + sig_bits + w) + 64) / 64 + 2;
+        if (widx + worst > cap_words) return -1;
+        Writer o = { words, widx, 64 };
+        uint64_t prev = vbits[s] & mask;
+        wr(&o, prev, w);
+        int slz = 1 << 30, stz = 0;
+        for (int64_t i = s + 1; i < s + n; i++) {
+            uint64_t v = vbits[i] & mask;
+            enc_one_value(&o, w, lz_cap_at, lz_cap_to, lz_bits, sig_bits,
+                          prev ^ v, &slz, &stz);
+            prev = v;
+        }
+        /* close(): encode canonical NaN through the chain + one 0 bit */
+        enc_one_value(&o, w, lz_cap_at, lz_cap_to, lz_bits, sig_bits,
+                      prev ^ nan, &slz, &stz);
+        wr(&o, 0, 1);
+        int64_t bits = (o.widx - widx) * 64 + (64 - o.bl);
+        word_off[b] = widx;
+        block_bits[b] = bits;
+        widx = o.widx + (o.bl < 64 ? 1 : 0);
+    }
+    return widx;
+}
+
+/* ---------------------------------------------------------------- encode */
 
 /* Encode nblocks groups (contiguous runs) of (ts, vbits) points.
  *

@@ -78,6 +78,14 @@ def get_lib():
     lib.encode_blocks_v2.argtypes = [
         i64p, i64p, i64p, i64p, u64p, ctypes.c_int64,
         u64p, ctypes.c_int64, i64p, i64p]
+    lib.decode_values.restype = ctypes.c_int64
+    lib.decode_values.argtypes = [
+        u8p, i64p, ctypes.c_int64, ctypes.c_int,
+        u64p, i64p, ctypes.c_int64]
+    lib.encode_values.restype = ctypes.c_int64
+    lib.encode_values.argtypes = [
+        i64p, i64p, u64p, ctypes.c_int64, ctypes.c_int,
+        u64p, ctypes.c_int64, i64p, i64p]
     _LIB = lib
     return _LIB
 
@@ -117,6 +125,67 @@ def decode_many(payloads: list[bytes], expected: np.ndarray):
     if got != cap or not np.array_equal(cnt, expected):
         raise ValueError("native decode count mismatch vs block metadata")
     return ts, vb, cnt
+
+
+def decode_values_many(payloads: list[bytes], expected: np.ndarray, word: int):
+    """Batch-decode v1 (word=64) / v32 (word=32) value-only payloads.
+
+    Returns (vbits uint64, counts) or None; counts are cross-checked
+    against the ``expected`` block metadata like decode_many."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(payloads)
+    expected = np.ascontiguousarray(expected, dtype=np.int64)
+    lens = np.fromiter((len(p) for p in payloads), np.int64, n)
+    off = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(lens[:-1], out=off[1:])
+    buf = np.frombuffer(b"".join(payloads) + b"\x00" * 16, dtype=np.uint8)
+    cap = int(expected.sum())
+    vb = np.empty(cap, dtype=np.uint64)
+    cnt = np.empty(n, dtype=np.int64)
+    got = lib.decode_values(
+        _p(buf, ctypes.c_uint8), _p(off, ctypes.c_int64), n, word,
+        _p(vb, ctypes.c_uint64), _p(cnt, ctypes.c_int64), cap)
+    if got < 0:
+        raise ValueError(f"native value decode overflow at block {-1 - got}")
+    if got != cap or not np.array_equal(cnt, expected):
+        raise ValueError("native value decode count mismatch vs metadata")
+    return vb, cnt
+
+
+def encode_values_many(starts: np.ndarray, counts: np.ndarray,
+                       vbits: np.ndarray, word: int):
+    """Batch-encode v1/v32 value-only blocks (terminator included).
+    Returns (payloads, block_bits) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    G = len(starts)
+    if G == 0:
+        return [], np.zeros(0, np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    vbits = np.ascontiguousarray(vbits, dtype=np.uint64)
+    per_val = 2 + (5 + 6 if word == 64 else 4 + 5) + word
+    cap_words = int(((int(counts.sum()) + G) * per_val
+                     + G * (word + 64)) // 64 + 2 * G + 16)
+    words = np.zeros(cap_words, dtype=np.uint64)
+    word_off = np.empty(G, dtype=np.int64)
+    block_bits = np.empty(G, dtype=np.int64)
+    used = lib.encode_values(
+        _p(starts, ctypes.c_int64), _p(counts, ctypes.c_int64),
+        _p(vbits, ctypes.c_uint64), G, word,
+        _p(words, ctypes.c_uint64), cap_words,
+        _p(word_off, ctypes.c_int64), _p(block_bits, ctypes.c_int64))
+    if used < 0:
+        raise ValueError("native value encode word-buffer overflow")
+    allbytes = words[:used].byteswap().tobytes()
+    nbytes = ((block_bits + 7) // 8).tolist()
+    off_l = (word_off * 8).tolist()
+    payloads = [allbytes[o:o + nb] for o, nb in zip(off_l, nbytes)]
+    return payloads, block_bits
 
 
 def encode_many(starts: np.ndarray, counts: np.ndarray,

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..codec import native
 from ..codec.valueonly import (Compressor32, Compressor64, Decompressor32,
                                Decompressor64)
 
@@ -67,18 +68,26 @@ def _series_values(events: DataFrame, cap: int) -> DataFrame:
 def _encode_kernel(word: int):
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("idx", kind="mergesort")
-        enc = Compressor64() if word == 64 else Compressor32()
         vals = pdf["value"].to_numpy(np.float64)
-        # vectorized bulk path (codec add_array) — bit-identical to the
-        # scalar add_bits loop, no per-value Python iteration
         if word == 64:
-            enc.add_array(vals.view(np.uint64))
+            bits = vals.view(np.uint64)
         else:
-            enc.add_array(vals.astype(np.float32).view(np.uint32))
-        enc.close()
-        payload = enc.to_bytes()
-        return pd.DataFrame([(key[0], key[1], word, enc.n_points,
-                              enc.out.total_bits, payload, zlib.crc32(payload))],
+            bits = vals.astype(np.float32).view(np.uint32).astype(np.uint64)
+        # native C kernel when available; else the codec's vectorized
+        # add_array bulk path — both bit-identical to scalar add_bits
+        res = native.encode_values_many(
+            np.array([0], np.int64), np.array([len(bits)], np.int64),
+            bits, word)
+        if res is not None:
+            payload, n_bits = res[0][0], int(res[1][0])
+        else:
+            enc = Compressor64() if word == 64 else Compressor32()
+            enc.add_array(bits if word == 64 else bits.astype(np.uint32))
+            enc.close()
+            payload = enc.to_bytes()
+            n_bits = enc.out.total_bits
+        return pd.DataFrame([(key[0], key[1], word, len(bits),
+                              n_bits, payload, zlib.crc32(payload))],
                             columns=[f.name for f in V1_BLOCKS_SCHEMA.fields])
     return kernel
 
@@ -93,6 +102,22 @@ def encode_valueonly(events: DataFrame, word: int = 64,
 
 def _decode_iter(pdf_iter, word: int, cap: int):
     for pdf in pdf_iter:
+        payloads = [bytes(p) for p in pdf["payload"].tolist()]
+        res = native.decode_values_many(
+            payloads, pdf["n_points"].to_numpy(np.int64), word)
+        if res is not None:
+            vb, lens = res
+            if not len(vb):
+                continue
+            idx = (np.repeat(pdf["seq"].to_numpy(np.int64), lens) * cap
+                   + _within_run_index(lens))
+            yield pd.DataFrame({
+                "series": np.repeat(pdf["series"].to_numpy(), lens),
+                "idx": idx,
+                "v": (vb.view(np.float64) if word == 64 else
+                      vb.astype(np.uint32).view(np.float32)),
+            })
+            continue
         rows_s, rows_i, rows_v = [], [], []
         for r in pdf.itertuples(index=False):
             dec = (Decompressor64 if word == 64 else Decompressor32)(
@@ -111,8 +136,17 @@ def _decode_iter(pdf_iter, word: int, cap: int):
         })
 
 
+def _within_run_index(lens: np.ndarray) -> np.ndarray:
+    """0..len-1 within each run, vectorized."""
+    total = int(lens.sum())
+    out = np.arange(total, dtype=np.int64)
+    run_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    out -= np.repeat(run_starts, lens)
+    return out
+
+
 def decode_valueonly(blocks: DataFrame, word: int = 64,
                      cap: int = BLOCK_CAP) -> DataFrame:
     schema = V1_POINTS_SCHEMA if word == 64 else V32_POINTS_SCHEMA
-    return blocks.select("series", "seq", "payload").mapInPandas(
+    return blocks.select("series", "seq", "n_points", "payload").mapInPandas(
         lambda it: _decode_iter(it, word, cap), schema=schema)

@@ -57,6 +57,39 @@ def test_native_matches_golden(name):
     assert v_n.tolist() == v_ref
 
 
+def _vo_fixtures():
+    out = []
+    for n in fixture_names():
+        fx = load_fixture(n)
+        if fx["mode"] in ("v1", "v32") and fx["input"]["points"]:
+            out.append(n)
+    return out
+
+
+@pytest.mark.parametrize("name", _vo_fixtures())
+def test_native_valueonly_matches_golden(name):
+    from gorilla_tsc_spark.codec.valueonly import (Compressor32, Compressor64,
+                                                   Decompressor32,
+                                                   Decompressor64)
+    fx = load_fixture(name)
+    word = 64 if fx["mode"] == "v1" else 32
+    vb = np.array([int(v, 16) for _, v in fx["input"]["points"]],
+                  dtype=np.uint64)
+    enc = Compressor64() if word == 64 else Compressor32()
+    enc.add_array(vb if word == 64 else vb.astype(np.uint32))
+    enc.close()
+    p_ref = enc.to_bytes()
+    starts = np.array([0], np.int64)
+    counts = np.array([len(vb)], np.int64)
+    p_nat, bits_nat = native.encode_values_many(starts, counts, vb, word)
+    assert p_nat[0] == p_ref
+    assert int(bits_nat[0]) == enc.out.total_bits
+    dec = (Decompressor64 if word == 64 else Decompressor32)(p_ref)
+    v_ref = dec.read_all().astype(np.uint64)
+    v_nat, cnt = native.decode_values_many([p_ref], counts, word)
+    assert np.array_equal(v_nat, v_ref)
+
+
 def _random_partition(seed: int):
     rng = np.random.default_rng(seed)
     all_ts, all_vb, starts, counts, bts = [], [], [], [], []
