@@ -29,21 +29,44 @@ _LIB = None
 _TRIED = False
 
 
-def _build() -> str | None:
+def _read_src() -> bytes | None:
     try:
         with open(_SRC, "rb") as f:
-            src = f.read()
+            return f.read()
     except OSError:
+        pass
+    # zip-imported package (spark-submit --py-files / addPyFile ships
+    # the engine as a zip): plain open() can't read inside the archive,
+    # importlib.resources can
+    try:
+        from importlib import resources
+        return (resources.files("gorilla_tsc_spark.codec")
+                / "_gorilla_kernel.c").read_bytes()
+    except Exception:
+        return None
+
+
+def _build() -> str | None:
+    src = _read_src()
+    if src is None:
         return None
     tag = hashlib.sha256(src).hexdigest()[:16]
     so = os.path.join(tempfile.gettempdir(), f"gorilla_kernel_{tag}.so")
     if os.path.exists(so):
         return so
+    # compile from a materialized copy of the source (works whether the
+    # package lives on disk or inside a shipped zip)
+    cpath = os.path.join(tempfile.gettempdir(), f"gorilla_kernel_{tag}.c")
+    if not os.path.exists(cpath):
+        ctmp = cpath + f".{os.getpid()}.tmp"
+        with open(ctmp, "wb") as f:
+            f.write(src)
+        os.replace(ctmp, cpath)
     tmp = so + f".{os.getpid()}.tmp"
     for cc in ("cc", "gcc", "clang"):
         try:
             r = subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+                [cc, "-O2", "-shared", "-fPIC", "-o", tmp, cpath],
                 capture_output=True, timeout=120)
         except (OSError, subprocess.TimeoutExpired):
             continue

@@ -45,7 +45,9 @@ def _engine_zip(tmpdir: str) -> str:
         pkg = os.path.join(root, "gorilla_tsc_spark")
         for dirpath, _, files in os.walk(pkg):
             for f in files:
-                if f.endswith(".py"):
+                # ship the C kernel source too — codec/native.py
+                # compiles it on each executor node (zip-safe read)
+                if f.endswith((".py", ".c")):
                     full = os.path.join(dirpath, f)
                     z.write(full, os.path.relpath(full, root))
     return path
@@ -111,6 +113,44 @@ def child(n_executors: int) -> None:
         spark.stop()
 
 
+def _kernel_throughput() -> dict:
+    """JMH-shape single-core microbench of the codec kernels."""
+    import time
+
+    import numpy as np
+
+    from gorilla_tsc_spark.codec import native
+    from gorilla_tsc_spark.codec.batch import encode_partition_numpy
+    from gorilla_tsc_spark.codec.fastdecode import decode_payload
+
+    n = 100_000
+    ts = 1_700_000_000_000 + 60 * np.arange(n, dtype=np.int64)
+    vb = np.arange(n, dtype=np.float64).view(np.uint64)
+    starts = np.array([0], np.int64)
+    counts = np.array([n], np.int64)
+    bts = np.array([(int(ts[0]) // 86_400_000) * 86_400_000], np.int64)
+
+    def best(fn, reps=5):
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            b = min(b, time.perf_counter() - t0)
+        return round(n / b / 1e6, 1)
+
+    out = {"enc_numpy": best(
+        lambda: encode_partition_numpy(starts, counts, bts, ts, vb), 3)}
+    p, _ = encode_partition_numpy(starts, counts, bts, ts, vb)
+    out["dec_python"] = best(lambda: decode_payload(p[0]), 3)
+    if native.get_lib() is not None:
+        out["enc_native"] = best(
+            lambda: native.encode_many(starts, counts, bts, ts, vb))
+        out["dec_native"] = best(lambda: native.decode_many(p, counts))
+    else:
+        out["enc_native"] = out["dec_native"] = "n/a"
+    return out
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -144,7 +184,32 @@ def main() -> None:
     kw = kernel_scaling.run()
     keff = round((kw["2"] / kw["8"]) / 4, 3)
     host = kernel_scaling.host_profile()
-    md = f"""# BENCH — two-cluster-size scaling evidence
+    bw_note = ("(REGRESSES past 8)"
+               if host["bw_32proc_agg_MBs"] < host["bw_8proc_agg_MBs"]
+               else "")
+    kernels = _kernel_throughput()
+    md = f"""# BENCH — scaling + kernel throughput evidence
+
+## Single-core codec throughput vs the reference
+
+Same microbench shape as the reference's JMH harness
+(`EncodingBenchmark.java`: 100k points, 60 ms stride, value = i as
+double), one core, best of 5.  Reference numbers measured from the
+compiled, unmodified reference on this host (round-1 session).
+
+| metric | reference (Java JMH, 1 core) | repo C kernel | repo NumPy fallback |
+|---|---|---|---|
+| v2 encode | 83.5 M pts/s | **{kernels["enc_native"]} M pts/s** | {kernels["enc_numpy"]} M pts/s |
+| v2 decode | 77.9 M pts/s | **{kernels["dec_native"]} M pts/s** | {kernels["dec_python"]} M pts/s |
+
+The C kernel (`codec/_gorilla_kernel.c`, ctypes, lazily compiled once
+per node, bit-identical — proven against golden reference vectors in
+`tests/test_native_kernel.py`) is the same architectural move as
+Spark's own Tungsten/Arrow native layers: the DataFrame plan is
+untouched; only the per-partition kernel's inner loop is native.  No
+compiler (or `GORILLA_NATIVE=0`) falls back to the NumPy kernels.
+
+## Two-cluster-size scaling evidence
 
 North rule: throughput scaling efficiency ≥ 0.8 going from N to 4N
 executors. Sandbox stand-in: a LOCAL STANDALONE Spark cluster (master +
@@ -185,8 +250,8 @@ Measured on this host with NO Spark involved
 | pure-ALU python loop, 32 procs | {host["alu_32proc_speedup"]}× speedup |
 | numpy memory bandwidth, 1 proc | {host["bw_1proc_MBs"]} MB/s |
 | numpy memory bandwidth, 8 procs | {host["bw_8proc_agg_MBs"]} MB/s aggregate |
-| numpy memory bandwidth, 32 procs | {host["bw_32proc_agg_MBs"]} MB/s aggregate (REGRESSES past 8) |
-| engine encode kernel via multiprocessing Pool, 2→8 procs | {kw["2"]}s → {kw["8"]}s, efficiency {keff} |
+| numpy memory bandwidth, 32 procs | {host["bw_32proc_agg_MBs"]} MB/s aggregate {bw_note} |
+| engine encode kernel via multiprocessing Pool, 2→8 procs | {kw["2"]}s → {kw["8"]}s over {kw["n_tasks"]} tasks, efficiency {keff} |
 
 Compute scales; any allocation/memory-heavy parallel workload —
 including a minimal NumPy reproducer with no engine code — collapses
