@@ -6,10 +6,12 @@ vectorized Arrow kernel, decode, and build the 1-minute continuous
 aggregate tier.
 
 ``queries()`` / ``oracle_sql()`` — the operator registry lives in
-``gorilla_tsc_spark.queries``; every SQL-expressible operator carries a
-DuckDB oracle with matching column names; codec/lossy/multimodal
-kernels are rows-only (non-SQL-expressible bit-level or Arrow-stub
-logic).
+``gorilla_tsc_spark.queries``; every registered query except
+``block_stats`` (codec-dependent compression accounting) carries a
+DuckDB oracle with matching column names.  Codec roundtrips are
+oracled via row_number identities, the lossy trio via per-series
+coverage + ε-bound audits, multimodal via hex-nibble byte
+reconstruction, streaming via batch replay against the 1m-tier oracle.
 """
 
 from __future__ import annotations
