@@ -52,8 +52,10 @@ BLOCKS_SCHEMA = T.StructType([
     T.StructField("agg_max", T.DoubleType()),
     T.StructField("agg_sum", T.DoubleType()),
     # per-UTC-day sub-aggregates (parallel arrays, one entry per day
-    # touched by the block).  Day-span blocks carry one entry; they let
-    # span="auto" multi-day blocks serve the day tier with zero decode.
+    # touched by the block) — they let span="auto" multi-day blocks
+    # serve the day tier with zero decode.  Day-aligned blocks carry
+    # NULLs here (their entry would duplicate block_start/agg_*);
+    # readers coalesce (rollup.rollup_from_day_subaggs).
     T.StructField("day_buckets", T.ArrayType(T.LongType())),
     T.StructField("day_cnt", T.ArrayType(T.LongType())),
     T.StructField("day_min", T.ArrayType(T.DoubleType())),
@@ -114,6 +116,17 @@ def _day_runs(ts: np.ndarray, starts: np.ndarray, counts: np.ndarray):
     return sub_starts, sub_counts, split, db[sub_starts] * DAY_MS
 
 
+def _none_day_cols(G_blocks: int) -> dict:
+    """Null day_* cells for day-aligned blocks: their single per-day
+    entry would just duplicate (block_start, agg_*), and 5 extra
+    object-array cells per block row measurably tax the Arrow boundary
+    at hundreds of thousands of blocks per partition.  Readers
+    coalesce to the agg_* columns (rollup.rollup_from_day_subaggs)."""
+    none = [None] * G_blocks
+    return {"day_buckets": none, "day_cnt": none, "day_min": none,
+            "day_max": none, "day_sum": none}
+
+
 def _day_cols(vals: np.ndarray, sub_starts, sub_counts, split, bucket_ms):
     """The five day_* column cell-lists for one channel."""
     return {
@@ -135,9 +148,6 @@ def _make_encode_kernel(channels: list[Channel], predictor: str | None):
         seq = int(pdf["seq"].iloc[0])
         conv = pdf["conv_id"].iloc[0]
         block_start = day * DAY_MS
-        g_starts = np.array([0], np.int64)
-        g_counts = np.array([len(ts)], np.int64)
-        sub_s, sub_c, split, bkt = _day_runs(ts, g_starts, g_counts)
         rows = []
         for name, kind in chans:
             col = pdf[f"ch_{name}"].to_numpy()
@@ -151,15 +161,12 @@ def _make_encode_kernel(channels: list[Channel], predictor: str | None):
             enc = encode_block(block_start, ts, bits, predictor)
             enc.close()
             payload = enc.to_bytes()
-            d = _day_cols(vals, sub_s, sub_c, split, bkt)
             rows.append((
                 conv, name, kind, block_start, seq,
                 len(ts), enc.n_bits, payload,
                 int(ts[0]), int(ts[-1]),
                 len(ts), float(vals.min()), float(vals.max()), float(vals.sum()),
-                d["day_buckets"][0].tolist(), d["day_cnt"][0].tolist(),
-                d["day_min"][0].tolist(), d["day_max"][0].tolist(),
-                d["day_sum"][0].tolist(),
+                None, None, None, None, None,
                 zlib.crc32(payload),
             ))
         return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
@@ -236,7 +243,7 @@ def _make_batch_kernel(channels: list[Channel]):
                 "agg_min": np.minimum.reduceat(vals, starts),
                 "agg_max": np.maximum.reduceat(vals, starts),
                 "agg_sum": np.add.reduceat(vals, starts),
-                **_day_cols(vals, *_day_runs(ts, starts, counts)),
+                **_none_day_cols(G_blocks=len(starts)),
                 "crc": [_zlib.crc32(p) for p in payloads],
             }, columns=cols))
         yield pd.concat(frames) if len(frames) > 1 else frames[0]
@@ -337,7 +344,8 @@ def _make_packed_kernel(channels: list[Channel], span: str = "day"):
                 g_bts = pdf["day"].to_numpy(np.int64) * DAY_MS
                 chan_cells = None
             ends = starts + counts - 1
-            sub_s, sub_c, split, bkt = _day_runs(ts, starts, counts)
+            if span_auto:
+                sub_s, sub_c, split, bkt = _day_runs(ts, starts, counts)
             frames = []
             for name, kind in chans:
                 col = (chan_cells[name] if chan_cells is not None else
@@ -365,7 +373,9 @@ def _make_packed_kernel(channels: list[Channel], span: str = "day"):
                     "agg_min": np.minimum.reduceat(vals, starts),
                     "agg_max": np.maximum.reduceat(vals, starts),
                     "agg_sum": np.add.reduceat(vals, starts),
-                    **_day_cols(vals, sub_s, sub_c, split, bkt),
+                    **(_day_cols(vals, sub_s, sub_c, split, bkt)
+                       if span_auto else
+                       _none_day_cols(G_blocks=len(starts))),
                     "crc": [_zlib.crc32(p) for p in payloads],
                 }, columns=cols))
             yield pd.concat(frames) if len(frames) > 1 else frames[0]

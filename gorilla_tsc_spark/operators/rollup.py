@@ -70,8 +70,16 @@ def rollup_from_day_subaggs(blocks: DataFrame) -> DataFrame:
     z = blocks.select(
         "conv_id", "channel",
         F.explode(F.arrays_zip(
-            "day_buckets", "day_cnt", "day_min", "day_max", "day_sum")
-        ).alias("z"))
+            # day-aligned blocks carry NULL day_* arrays (their one
+            # entry would duplicate block_start/agg_*) — coalesce to
+            # the scalar aggregates so one reader serves both spans
+            F.coalesce("day_buckets", F.array("block_start"))
+             .alias("day_buckets"),
+            F.coalesce("day_cnt", F.array("agg_cnt")).alias("day_cnt"),
+            F.coalesce("day_min", F.array("agg_min")).alias("day_min"),
+            F.coalesce("day_max", F.array("agg_max")).alias("day_max"),
+            F.coalesce("day_sum", F.array("agg_sum")).alias("day_sum"),
+        )).alias("z"))
     return (
         z.groupBy("conv_id", "channel", F.col("z.day_buckets").alias("bucket"))
         .agg(

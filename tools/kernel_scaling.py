@@ -52,13 +52,22 @@ def _encode_task(w: int) -> int:
     return len(payloads)
 
 
-def run(n_tasks: int = 16, procs=(2, 8), reps: int = 3) -> dict:
+def run(procs=(2, 8), reps: int = 3, target_sec: float = 2.5) -> dict:
     results = {p: float("inf") for p in procs}
     pools = {}
     for p in procs:
         pools[p] = Pool(p, initializer=_init, initargs=(4,))
         pools[p].map(_encode_task, range(p))  # warm imports
     try:
+        # calibrate the per-task cost so every timed run lasts long
+        # enough to measure — the native C kernel made a single task
+        # ~10 ms, which a fixed n_tasks=16 turned into pure overhead
+        pmin, pmax = min(procs), max(procs)
+        t0 = time.time()
+        pools[pmin].map(_encode_task, range(8))
+        t_task = (time.time() - t0) / 8
+        n_tasks = int(min(8192, max(32, target_sec / max(t_task, 1e-4))))
+        n_tasks = ((n_tasks + pmax - 1) // pmax) * pmax  # balanced waves
         for _ in range(reps):
             for p in procs:
                 t0 = time.time()
@@ -67,7 +76,9 @@ def run(n_tasks: int = 16, procs=(2, 8), reps: int = 3) -> dict:
     finally:
         for pool in pools.values():
             pool.terminate()
-    return {str(p): round(v, 2) for p, v in results.items()}
+    out = {str(p): round(v, 2) for p, v in results.items()}
+    out["n_tasks"] = n_tasks
+    return out
 
 
 def _bw(_):
