@@ -420,6 +420,46 @@ FROM t1d
 """
 
 
+def q_supplier_distinct(spark, sf_dir):
+    """Distinct-aggregate coverage, TPC-H Q16 shape: distinct suppliers
+    per (brand, size) bucket through the lineitem fact.  The distinct
+    shuffles on the grouping key; part is a broadcast dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 15)
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+SUPPLIER_DISTINCT_SQL = """
+SELECT p_brand, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 15
+GROUP BY p_brand, p_size
+"""
+
+
+def q_asof_tier(spark, sf_dir):
+    """As-of join: each raw point looks up the latest 1h-tier row at or
+    before its timestamp (operators/asof.py union+ordered-window merge,
+    one shuffle).  Oracle: DuckDB's native ASOF JOIN — an independent
+    implementation of the same semantics."""
+    from .operators.asof import asof_join
+    pts = _len_points(spark, sf_dir)
+    t1h = rollup_points(pts, HOUR_MS, F.col("v"), keys=("conv_id",))
+    return asof_join(pts.select("conv_id", "ts_ms"), t1h)
+
+
+ASOF_TIER_SQL_BODY = """
+SELECT p.conv_id, p.ts_ms, t.bucket, t.cnt, t.vmin, t.vmax, t.vsum
+FROM pts p ASOF JOIN t1h t
+  ON p.conv_id = t.conv_id AND p.ts_ms >= t.bucket
+"""
+
+
 def q_events_top3(spark, sf_dir):
     """Window-function coverage: top-3 events per user by value."""
     from pyspark.sql import Window
@@ -737,6 +777,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_exists_semi": q_orders_exists_semi,
         "cust_no_orders_anti": q_cust_no_orders_anti,
         "tier_moving_avg": q_tier_moving_avg,
+        "supplier_distinct": q_supplier_distinct,
+        "asof_tier": q_asof_tier,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_sigs,
@@ -843,6 +885,10 @@ WHERE bucket >= day0 - {_POLICY.keep_1h_days * DAY_MS}"""),
         "events_setops": EVENTS_SETOPS_SQL,
         "orders_exists_semi": ORDERS_EXISTS_SQL,
         "cust_no_orders_anti": CUST_NO_ORDERS_SQL,
+        "supplier_distinct": SUPPLIER_DISTINCT_SQL,
+        "asof_tier": _with_transcripts(
+            f"{_PTS_SQL},\n{_rollup_sql(HOUR_MS, alias='t1h')}"
+            f"\n{ASOF_TIER_SQL_BODY}"),
         "tier_moving_avg": _with_transcripts(
             f"{_PTS_SQL},\n{_rollup_sql(DAY_MS, alias='t1d')}"
             f"\n{TIER_MOVING_AVG_SQL_BODY}"),
