@@ -41,4 +41,26 @@ def gapfill(tier: DataFrame, bucket_ms: int, how: str = "locf",
         for c in ("vmin", "vmax", "vsum"):
             filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
         return filled.fillna({"cnt": 0})
+    if how == "linear":
+        # TimescaleDB-style interpolate(): gap values lie on the line
+        # between the surrounding observed buckets; boundary gaps (none
+        # here — the grid spans observed min..max) would stay null.
+        # Exact cross-engine: the fraction is a ratio of exact bucket
+        # longs and the tier values are integer-valued doubles.
+        wb = Window.partitionBy(*keys).orderBy("bucket")
+        wprev = wb.rowsBetween(Window.unboundedPreceding, 0)
+        wnext = wb.rowsBetween(0, Window.unboundedFollowing)
+        obs_b = F.when(~F.col("is_gap"), F.col("bucket"))
+        filled = (filled
+                  .withColumn("_pb", F.last(obs_b, ignorenulls=True).over(wprev))
+                  .withColumn("_nb", F.first(obs_b, ignorenulls=True).over(wnext)))
+        for c in ("vmin", "vmax", "vsum"):
+            pv = F.last(c, ignorenulls=True).over(wprev)
+            nv = F.first(c, ignorenulls=True).over(wnext)
+            frac = ((F.col("bucket") - F.col("_pb"))
+                    / (F.col("_nb") - F.col("_pb")))
+            filled = filled.withColumn(
+                c, F.when(~F.col("is_gap"), F.col(c))
+                    .otherwise(F.round(pv + (nv - pv) * frac, 6)))
+        return filled.drop("_pb", "_nb").fillna({"cnt": 0})
     raise ValueError(f"unknown fill policy {how!r}")

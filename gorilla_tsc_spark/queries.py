@@ -210,6 +210,15 @@ def q_gapfill_1d_null(spark, sf_dir):
     return gapfill(t1d, DAY_MS, how="null", keys=("conv_id",))
 
 
+def q_gapfill_1h_linear(spark, sf_dir):
+    """Linear-interpolation gap-fill (TimescaleDB interpolate()):
+    gap buckets take the value on the line between the surrounding
+    observed buckets."""
+    t1h = rollup_points(_len_points(spark, sf_dir), HOUR_MS, F.col("v"),
+                        keys=("conv_id",))
+    return gapfill(t1h, HOUR_MS, how="linear", keys=("conv_id",))
+
+
 _POLICY = RetentionPolicy(keep_1m_days=7, keep_1h_days=21, keep_1d_days=3650)
 
 
@@ -457,6 +466,82 @@ ASOF_TIER_SQL_BODY = """
 SELECT p.conv_id, p.ts_ms, t.bucket, t.cnt, t.vmin, t.vmax, t.vsum
 FROM pts p ASOF JOIN t1h t
   ON p.conv_id = t.conv_id AND p.ts_ms >= t.bucket
+"""
+
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization: a >30-min silence splits a user's
+    event stream into sessions (the conversation-boundary operator a
+    transcripts pipeline needs).  Classic lag + cumulative-sum window
+    pair — one shuffle on user_id; the session aggregate reuses the
+    same partitioning."""
+    from pyspark.sql import Window
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "value")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    flagged = pts.withColumn(
+        "new_s",
+        F.when(F.col("ts_ms") - F.lag("ts_ms").over(w) > SESSION_GAP_MS, 1)
+         .otherwise(0))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.min("ts_ms").alias("start_ms"),
+                 F.max("ts_ms").alias("end_ms"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 1000).cast("long"))
+                  .alias("sum_mils")))
+
+
+SESSIONIZE_SQL = f"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value
+  FROM events),
+flagged AS (
+  SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER w > {SESSION_GAP_MS}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_mils
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_tier_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (p50/p90/p99) of turn length per
+    conversation-day — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the type-7 linear interpolation, probed
+    bit-identical on integer-valued doubles."""
+    pts = _len_points(spark, sf_dir)
+    return (pts.groupBy(
+        "conv_id",
+        (F.floor(F.col("ts_ms") / DAY_MS) * DAY_MS).cast("long").alias("bucket"))
+        .agg(F.expr("percentile(v, 0.5)").alias("p50"),
+             F.expr("percentile(v, 0.9)").alias("p90"),
+             F.expr("percentile(v, 0.99)").alias("p99")))
+
+
+TIER_PCTL_SQL_BODY = f"""
+SELECT conv_id,
+       CAST(floor(ts_ms / {DAY_MS}) AS BIGINT) * {DAY_MS} AS bucket,
+       quantile_cont(v, 0.5) AS p50,
+       quantile_cont(v, 0.9) AS p90,
+       quantile_cont(v, 0.99) AS p99
+FROM pts GROUP BY 1, 2
 """
 
 
@@ -767,6 +852,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip_span_auto": q_codec_roundtrip_span_auto,
         "gapfill_1h_locf": q_gapfill_1h_locf,
         "gapfill_1d_null": q_gapfill_1d_null,
+        "gapfill_1h_linear": q_gapfill_1h_linear,
         "retention_serve": q_retention_serve,
         "retention_expire_1h": q_retention_expire_1h,
         "pricing_summary": q_pricing_summary,
@@ -779,6 +865,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_moving_avg": q_tier_moving_avg,
         "supplier_distinct": q_supplier_distinct,
         "asof_tier": q_asof_tier,
+        "sessionize": q_sessionize,
+        "tier_percentiles": q_tier_percentiles,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_sigs,
@@ -831,6 +919,34 @@ SELECT g.conv_id, g.bucket, r.cnt, r.vmin, r.vmax, r.vsum,
 FROM g LEFT JOIN r ON r.conv_id = g.conv_id AND r.bucket = g.bucket""")
 
 
+def _gapfill_linear_sql(bucket_ms: int) -> str:
+    cols = []
+    for c in ("vmin", "vmax", "vsum"):
+        cols.append(f"""
+       CASE WHEN cnt IS NOT NULL THEN {c}
+            ELSE round(last_value({c} IGNORE NULLS) OVER wp
+                 + (first_value({c} IGNORE NULLS) OVER wn
+                    - last_value({c} IGNORE NULLS) OVER wp)
+                 * (bucket - last_value(ob IGNORE NULLS) OVER wp)
+                 / (first_value(ob IGNORE NULLS) OVER wn
+                    - last_value(ob IGNORE NULLS) OVER wp), 6)
+       END AS {c}""")
+    return _with_transcripts(f"""{_PTS_SQL},
+{_rollup_sql(bucket_ms, 'r')},
+s AS (SELECT conv_id, min(bucket) AS b0, max(bucket) AS b1 FROM r GROUP BY conv_id),
+g AS (SELECT conv_id, unnest(generate_series(b0, b1, {bucket_ms})) AS bucket FROM s),
+j AS (SELECT g.conv_id, g.bucket, r.cnt, r.vmin, r.vmax, r.vsum,
+             CASE WHEN r.cnt IS NOT NULL THEN g.bucket END AS ob
+      FROM g LEFT JOIN r ON r.conv_id = g.conv_id AND r.bucket = g.bucket)
+SELECT conv_id, bucket, coalesce(cnt, 0) AS cnt,{",".join(cols)},
+       (cnt IS NULL) AS is_gap
+FROM j
+WINDOW wp AS (PARTITION BY conv_id ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wn AS (PARTITION BY conv_id ORDER BY bucket
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""")
+
+
 def _retention_serve_sql() -> str:
     d = DAY_MS
     return _with_transcripts(f"""{_PTS_SQL},
@@ -872,6 +988,7 @@ def build_oracle_sql() -> dict[str, str]:
         "codec_roundtrip_span_auto": roundtrip_len,
         "gapfill_1h_locf": _gapfill_locf_sql(HOUR_MS),
         "gapfill_1d_null": _gapfill_null_sql(DAY_MS),
+        "gapfill_1h_linear": _gapfill_linear_sql(HOUR_MS),
         "retention_serve": _retention_serve_sql(),
         "retention_expire_1h": _with_transcripts(f"""{_PTS_SQL},
 {_rollup_sql(HOUR_MS, 'r')},
@@ -886,6 +1003,9 @@ WHERE bucket >= day0 - {_POLICY.keep_1h_days * DAY_MS}"""),
         "orders_exists_semi": ORDERS_EXISTS_SQL,
         "cust_no_orders_anti": CUST_NO_ORDERS_SQL,
         "supplier_distinct": SUPPLIER_DISTINCT_SQL,
+        "sessionize": SESSIONIZE_SQL,
+        "tier_percentiles": _with_transcripts(
+            f"{_PTS_SQL}\n{TIER_PCTL_SQL_BODY}"),
         "asof_tier": _with_transcripts(
             f"{_PTS_SQL},\n{_rollup_sql(HOUR_MS, alias='t1h')}"
             f"\n{ASOF_TIER_SQL_BODY}"),
