@@ -97,7 +97,7 @@ def main() -> None:
         "rollup_1m", "rollup_1h_cascade", "rollup_1d_from_blocks",
         "rollup_1d_from_auto_blocks", "rollup_from_decoded",
         "codec_roundtrip_len",
-        "gapfill_1h_locf", "retention_serve",
+        "gapfill_1h_locf", "retention_serve", "asof_tier", "sessionize",
         "pricing_summary", "top_orders", "events_top3",
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "simhash", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
