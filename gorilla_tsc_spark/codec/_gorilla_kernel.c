@@ -337,6 +337,84 @@ int64_t encode_values(const int64_t *starts, const int64_t *counts,
     return widx;
 }
 
+/* --------------------------------------------- lossy Gorilla-32 encode
+ *
+ * LossyCompressor32 semantics per codec/lossy.py (upstream quirks
+ * preserved bit-for-bit): |Δ|<ε repeats WITHOUT updating stored_val;
+ * quantization uses Java shift-count-mod-32 arithmetic shifts and the
+ * literal "2 ^ (space - 1)" where ^ is XOR; lz caps 16→15; close()
+ * sends the canonical NaN through the same chain plus one 0 bit. */
+static inline float l32_f(uint32_t b) { float f; memcpy(&f, &b, 4); return f; }
+
+static inline void l32_compress(Writer *o, uint32_t *stored,
+                                int *slz, int *stz,
+                                uint32_t value, double eps, int logerr) {
+    double diff = ((double)l32_f(value)) - ((double)l32_f(*stored));
+    if (diff < 0) diff = -diff;            /* NaN stays NaN → compare false */
+    if (diff < eps) { wr(o, 0, 1); return; }
+    int32_t integer_digits =
+        (int32_t)(((uint32_t)((int32_t)value << 1)) >> 24) - 127;
+    int32_t space = 23 + logerr - integer_digits;
+    if (space > 0) {
+        int s = space & 31;                 /* Java shift count mod 32 */
+        value = (uint32_t)((((int32_t)value) >> s) << s);
+        value = (uint32_t)((int32_t)value
+                           | ((int32_t)*stored & (int32_t)(2 ^ (space - 1))));
+    }
+    uint32_t x = *stored ^ value;
+    if (x == 0) {
+        wr(o, 0, 1);
+    } else {
+        int lz = __builtin_clz(x);          /* x != 0 */
+        int tz = __builtin_ctz(x);
+        if (lz >= 16) lz = 15;
+        wr(o, 1, 1);
+        if (lz >= *slz && tz >= *stz) {
+            int sig = 32 - *slz - *stz;
+            wr(o, 0, 1);
+            wr(o, x >> *stz, sig);
+        } else {
+            int sig = 32 - lz - tz;
+            wr(o, 1, 1);
+            wr(o, (uint64_t)lz, 4);
+            wr(o, (uint64_t)(sig & 31), 5);
+            wr(o, x >> tz, sig);
+            *slz = lz; *stz = tz;
+        }
+    }
+    *stored = value;
+}
+
+int64_t encode_lossy32(const int64_t *starts, const int64_t *counts,
+                       const uint64_t *vbits, int64_t nblocks, int logerr,
+                       uint64_t *words, int64_t cap_words,
+                       int64_t *word_off, int64_t *block_bits) {
+    /* eps = 2^logerr exactly (Math.pow on a power of two) */
+    double eps = 1.0;
+    for (int i = 0; i < (logerr >= 0 ? logerr : -logerr); i++)
+        eps = (logerr >= 0) ? eps * 2.0 : eps * 0.5;
+    int64_t widx = 0;
+    for (int64_t b = 0; b < nblocks; b++) {
+        int64_t s = starts[b], n = counts[b];
+        int64_t worst = (32 + (n + 1) * (2 + 4 + 5 + 32) + 64) / 64 + 2;
+        if (widx + worst > cap_words) return -1;
+        Writer o = { words, widx, 64 };
+        uint32_t stored = (uint32_t)vbits[s];
+        wr(&o, stored, 32);
+        int slz = 1 << 30, stz = 0;
+        for (int64_t i = s + 1; i < s + n; i++)
+            l32_compress(&o, &stored, &slz, &stz,
+                         (uint32_t)vbits[i], eps, logerr);
+        l32_compress(&o, &stored, &slz, &stz, 0x7FC00000u, eps, logerr);
+        wr(&o, 0, 1);
+        int64_t bits = (o.widx - widx) * 64 + (64 - o.bl);
+        word_off[b] = widx;
+        block_bits[b] = bits;
+        widx = o.widx + (o.bl < 64 ? 1 : 0);
+    }
+    return widx;
+}
+
 /* ---------------------------------------------------------------- encode */
 
 /* Encode nblocks groups (contiguous runs) of (ts, vbits) points.

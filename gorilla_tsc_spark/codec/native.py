@@ -109,6 +109,10 @@ def get_lib():
     lib.encode_values.argtypes = [
         i64p, i64p, u64p, ctypes.c_int64, ctypes.c_int,
         u64p, ctypes.c_int64, i64p, i64p]
+    lib.encode_lossy32.restype = ctypes.c_int64
+    lib.encode_lossy32.argtypes = [
+        i64p, i64p, u64p, ctypes.c_int64, ctypes.c_int,
+        u64p, ctypes.c_int64, i64p, i64p]
     _LIB = lib
     return _LIB
 
@@ -204,6 +208,37 @@ def encode_values_many(starts: np.ndarray, counts: np.ndarray,
         _p(word_off, ctypes.c_int64), _p(block_bits, ctypes.c_int64))
     if used < 0:
         raise ValueError("native value encode word-buffer overflow")
+    allbytes = words[:used].byteswap().tobytes()
+    nbytes = ((block_bits + 7) // 8).tolist()
+    off_l = (word_off * 8).tolist()
+    payloads = [allbytes[o:o + nb] for o, nb in zip(off_l, nbytes)]
+    return payloads, block_bits
+
+
+def encode_lossy32_many(starts: np.ndarray, counts: np.ndarray,
+                        vbits: np.ndarray, log_of_error: int):
+    """Batch-encode quantized Gorilla-32 (LossyCompressor32) blocks.
+    Returns (payloads, block_bits) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    G = len(starts)
+    if G == 0:
+        return [], np.zeros(0, np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    vbits = np.ascontiguousarray(vbits, dtype=np.uint64)
+    cap_words = int(((int(counts.sum()) + G) * 43 + G * 96) // 64 + 2 * G + 16)
+    words = np.zeros(cap_words, dtype=np.uint64)
+    word_off = np.empty(G, dtype=np.int64)
+    block_bits = np.empty(G, dtype=np.int64)
+    used = lib.encode_lossy32(
+        _p(starts, ctypes.c_int64), _p(counts, ctypes.c_int64),
+        _p(vbits, ctypes.c_uint64), G, log_of_error,
+        _p(words, ctypes.c_uint64), cap_words,
+        _p(word_off, ctypes.c_int64), _p(block_bits, ctypes.c_int64))
+    if used < 0:
+        raise ValueError("native lossy32 encode word-buffer overflow")
     allbytes = words[:used].byteswap().tobytes()
     nbytes = ((block_bits + 7) // 8).tolist()
     off_l = (word_off * 8).tolist()

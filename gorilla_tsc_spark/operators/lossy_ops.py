@@ -122,22 +122,34 @@ def lossy32_bound(events: DataFrame, log_of_error: int = -3) -> DataFrame:
     decode with the standard 32-bit decoder, report size + max |error|
     (must stay ≤ 2^logOfError). Includes the upstream ``2^space`` XOR
     quirk, so the bound is checked empirically rather than assumed."""
+    from ..codec import native
     from ..codec.lossy import LossyCompressor32
     from ..codec.valueonly import Decompressor32
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("t", kind="mergesort")
         vals = pdf["v"].to_numpy(np.float32)
-        enc = LossyCompressor32(log_of_error)
-        for v in vals.tolist():
-            enc.add_float(v)
-        enc.close()
-        dec = Decompressor32(enc.out.to_bytes())
-        got = dec.read_all().view(np.float32).astype(np.float64)
+        vb = vals.view(np.uint32).astype(np.uint64)
+        one = np.array([0], np.int64), np.array([len(vb)], np.int64)
+        res = native.encode_lossy32_many(*one, vb, log_of_error)
+        if res is not None:
+            payload, n_bits = res[0][0], int(res[1][0])
+        else:
+            enc = LossyCompressor32(log_of_error)
+            for v in vals.tolist():
+                enc.add_float(v)
+            enc.close()
+            payload, n_bits = enc.out.to_bytes(), enc.out.total_bits
+        dres = native.decode_values_many([payload], one[1], 32)
+        if dres is not None:
+            got = dres[0].astype(np.uint32).view(np.float32).astype(np.float64)
+        else:
+            got = (Decompressor32(payload).read_all()
+                   .view(np.float32).astype(np.float64))
         err = float(np.max(np.abs(got - vals.astype(np.float64)))) if len(got) else 0.0
         return pd.DataFrame([(
-            pdf["series"].iloc[0], len(vals), enc.out.total_bits,
-            enc.out.total_bits / max(len(vals), 1), err,
+            pdf["series"].iloc[0], len(vals), n_bits,
+            n_bits / max(len(vals), 1), err,
             2.0 ** log_of_error)],
             columns=[f.name for f in LOSSY32_SCHEMA.fields])
 

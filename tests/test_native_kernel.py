@@ -90,6 +90,34 @@ def test_native_valueonly_matches_golden(name):
     assert np.array_equal(v_nat, v_ref)
 
 
+def _lossy_fixtures():
+    out = []
+    for n in fixture_names():
+        fx = load_fixture(n)
+        if fx["mode"].startswith("lossy32") and fx["input"]["points"]:
+            out.append(n)
+    return out
+
+
+@pytest.mark.parametrize("name", _lossy_fixtures())
+def test_native_lossy32_matches_golden(name):
+    from gorilla_tsc_spark.codec.lossy import LossyCompressor32
+    fx = load_fixture(name)
+    log = int(fx["mode"].split(":")[1])
+    vb = np.array([int(v, 16) for _, v in fx["input"]["points"]],
+                  dtype=np.uint64)
+    enc = LossyCompressor32(log)
+    for b in vb.tolist():
+        enc.add_bits(int(b))
+    enc.close()
+    p_ref = enc.out.to_bytes()
+    starts = np.array([0], np.int64)
+    counts = np.array([len(vb)], np.int64)
+    p_nat, bits_nat = native.encode_lossy32_many(starts, counts, vb, log)
+    assert p_nat[0] == p_ref
+    assert int(bits_nat[0]) == enc.out.total_bits
+
+
 def _random_partition(seed: int):
     rng = np.random.default_rng(seed)
     all_ts, all_vb, starts, counts, bts = [], [], [], [], []
