@@ -545,6 +545,54 @@ FROM pts GROUP BY 1, 2
 """
 
 
+LTTB_N_OUT = 50
+
+
+def q_lttb(spark, sf_dir):
+    """LTTB downsampling, driver-gated by contract (see
+    operators/downsample.py): per series the output size, the preserved
+    endpoints, and a Spark-side audit that timestamps are
+    non-decreasing and every selected point exists in the source."""
+    from pyspark.sql import Window
+    from .operators.downsample import lttb
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("series"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t"),
+        F.col("value").cast("double").alias("v"))
+    out = lttb(pts, n_out=LTTB_N_OUT)
+    w = Window.partitionBy("series").orderBy("idx")
+    mono = (out.withColumn("_ok", F.col("t") >= F.coalesce(
+                F.lag("t").over(w), F.lit(-(1 << 62))))
+            .groupBy("series")
+            .agg(F.count(F.lit(1)).alias("n_sel"),
+                 F.min("t").alias("sel_first"),
+                 F.max("t").alias("sel_last"),
+                 F.min(F.col("_ok").cast("int")).alias("_mono")))
+    members = (out.join(pts.dropDuplicates(["series", "t", "v"]),
+                        ["series", "t", "v"], "left_semi")
+               .groupBy("series").agg(F.count(F.lit(1)).alias("_memb")))
+    return (mono.join(members, "series")
+            .select("series",
+                    F.col("n_sel").cast("long").alias("n_out"),
+                    F.col("sel_first").alias("first_t"),
+                    F.col("sel_last").alias("last_t"),
+                    ((F.col("_mono") == 1)
+                     & (F.col("_memb") == F.col("n_sel")))
+                    .alias("within_contract")))
+
+
+LTTB_SQL = f"""
+SELECT concat('u', user_id) AS series,
+       CAST(least({LTTB_N_OUT}, count(*)) AS BIGINT) AS n_out,
+       min(epoch_ms(CAST(ts AS TIMESTAMP))) AS first_t,
+       max(epoch_ms(CAST(ts AS TIMESTAMP))) AS last_t,
+       TRUE AS within_contract
+FROM events GROUP BY user_id
+"""
+
+
 def q_events_top3(spark, sf_dir):
     """Window-function coverage: top-3 events per user by value."""
     from pyspark.sql import Window
@@ -867,6 +915,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tier": q_asof_tier,
         "sessionize": q_sessionize,
         "tier_percentiles": q_tier_percentiles,
+        "lttb_downsample": q_lttb,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_sigs,
@@ -1004,6 +1053,7 @@ WHERE bucket >= day0 - {_POLICY.keep_1h_days * DAY_MS}"""),
         "cust_no_orders_anti": CUST_NO_ORDERS_SQL,
         "supplier_distinct": SUPPLIER_DISTINCT_SQL,
         "sessionize": SESSIONIZE_SQL,
+        "lttb_downsample": LTTB_SQL,
         "tier_percentiles": _with_transcripts(
             f"{_PTS_SQL}\n{TIER_PCTL_SQL_BODY}"),
         "asof_tier": _with_transcripts(
