@@ -337,6 +337,135 @@ int64_t encode_values(const int64_t *starts, const int64_t *counts,
     return widx;
 }
 
+/* ------------------------------------------------- PMC-MR / Swing
+ *
+ * Sequential lossy segment filters, float32 arithmetic exactly as
+ * codec/lossy.py (PmcMR.java:10-48 / SwingFilter.java:11-59 +
+ * LinearFunction.java:17-37 semantics): x86-64 float ops are SSE
+ * binary32, matching np.float32 op-for-op. */
+#include <float.h>
+
+int64_t pmc_filter_blocks(const int64_t *starts, const int64_t *counts,
+                          const int64_t *ts, const float *vs,
+                          int64_t nblocks, float eps,
+                          int64_t *seg_t0, int64_t *seg_t1,
+                          uint32_t *seg_vbits, int64_t *seg_per_block,
+                          int64_t cap) {
+    int64_t nseg = 0;
+    for (int64_t b = 0; b < nblocks; b++) {
+        int64_t s = starts[b], n = counts[b];
+        float vmax = FLT_MIN, vmin = FLT_MAX;   /* Java Float.MIN/MAX_VALUE */
+        int have = 0;
+        int64_t c_t0 = 0, c_t1 = 0;
+        float c_val = 0.0f;
+        int64_t base = nseg;
+        for (int64_t i = s; i < s + n; i++) {
+            int64_t t = ts[i];
+            float v = vs[i];
+            if (v > vmax) vmax = v;
+            if (v < vmin) vmin = v;
+            if ((vmax - vmin) <= eps && have) {
+                c_t1 = t;
+                c_val = vmax - (vmax - vmin) / 2.0f;
+            } else {
+                if (have) {
+                    if (nseg >= cap) return -1 - b;
+                    seg_t0[nseg] = c_t0; seg_t1[nseg] = c_t1;
+                    memcpy(&seg_vbits[nseg], &c_val, 4);
+                    nseg++;
+                }
+                vmax = v; vmin = v;
+                c_t0 = t; c_t1 = t; c_val = v; have = 1;
+            }
+        }
+        if (have) {
+            if (nseg >= cap) return -1 - b;
+            seg_t0[nseg] = c_t0; seg_t1[nseg] = c_t1;
+            memcpy(&seg_vbits[nseg], &c_val, 4);
+            nseg++;
+        }
+        seg_per_block[b] = nseg - base;
+    }
+    return nseg;
+}
+
+typedef struct { double a, b; } Line;
+
+static inline Line line_make(int64_t ts_, float vs_, int64_t te, float ve) {
+    /* (ve - vs) / (float)(te - ts) in float32; a stored as double;
+     * b = (double)vs - a * ts in double (LinearFunction.java:20-23) */
+    float af = (ve - vs_) / (float)(te - ts_);
+    Line l;
+    l.a = (double)af;
+    l.b = (double)vs_ - l.a * (double)ts_;
+    return l;
+}
+
+static inline float line_get(Line l, int64_t t) {
+    return (float)(l.a * (double)t + l.b);
+}
+
+int64_t swing_filter_blocks(const int64_t *starts, const int64_t *counts,
+                            const int64_t *ts, const float *vs,
+                            int64_t nblocks, float eps,
+                            int64_t *seg_t0, int64_t *seg_t1,
+                            double *seg_a, double *seg_b,
+                            int64_t *seg_per_block, int64_t cap) {
+    int64_t nseg = 0;
+    for (int64_t b = 0; b < nblocks; b++) {
+        int64_t s = starts[b], n = counts[b];
+        int have_first = 0, have_lines = 0;
+        int64_t first_t = 0, last_t = 0;
+        float first_v = 0.0f, last_v = 0.0f;
+        Line ui = {0, 0}, li = {0, 0};
+        int64_t base = nseg;
+        for (int64_t i = s; i < s + n; i++) {
+            int64_t t = ts[i];
+            float v = vs[i];
+            last_t = t; last_v = v;
+            if (!have_first) {
+                have_first = 1; first_t = t; first_v = v;
+                continue;
+            }
+            if (have_lines && (line_get(ui, t) < v || line_get(li, t) > v)) {
+                Line line = line_make(first_t, first_v, t,
+                                      (line_get(ui, t) + line_get(li, t)) / 2.0f);
+                if (nseg >= cap) return -1 - b;
+                seg_t0[nseg] = first_t; seg_t1[nseg] = t - 1;
+                seg_a[nseg] = line.a; seg_b[nseg] = line.b;
+                nseg++;
+                have_lines = 0;
+                first_t = t; first_v = v;
+            } else {
+                Line un = line_make(first_t, first_v, t, v + eps);
+                Line ln = line_make(first_t, first_v, t, v - eps);
+                if (!have_lines) {
+                    ui = un; li = ln; have_lines = 1;
+                } else {
+                    if (line_get(ui, t) > line_get(un, t)) ui = un;
+                    if (line_get(li, t) < line_get(ln, t)) li = ln;
+                }
+            }
+        }
+        if (have_lines) {
+            Line line = line_make(first_t, first_v, last_t,
+                                  (line_get(ui, last_t) + line_get(li, last_t)) / 2.0f);
+            if (nseg >= cap) return -1 - b;
+            seg_t0[nseg] = first_t; seg_t1[nseg] = last_t;
+            seg_a[nseg] = line.a; seg_b[nseg] = line.b;
+            nseg++;
+        } else if (have_first) {
+            Line line = line_make(first_t, first_v, first_t + 1, first_v);
+            if (nseg >= cap) return -1 - b;
+            seg_t0[nseg] = first_t; seg_t1[nseg] = first_t;
+            seg_a[nseg] = line.a; seg_b[nseg] = line.b;
+            nseg++;
+        }
+        seg_per_block[b] = nseg - base;
+    }
+    return nseg;
+}
+
 /* --------------------------------------------- lossy Gorilla-32 encode
  *
  * LossyCompressor32 semantics per codec/lossy.py (upstream quirks

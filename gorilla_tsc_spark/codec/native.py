@@ -113,6 +113,17 @@ def get_lib():
     lib.encode_lossy32.argtypes = [
         i64p, i64p, u64p, ctypes.c_int64, ctypes.c_int,
         u64p, ctypes.c_int64, i64p, i64p]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.pmc_filter_blocks.restype = ctypes.c_int64
+    lib.pmc_filter_blocks.argtypes = [
+        i64p, i64p, i64p, f32p, ctypes.c_int64, ctypes.c_float,
+        i64p, i64p, u32p, i64p, ctypes.c_int64]
+    lib.swing_filter_blocks.restype = ctypes.c_int64
+    lib.swing_filter_blocks.argtypes = [
+        i64p, i64p, i64p, f32p, ctypes.c_int64, ctypes.c_float,
+        i64p, i64p, f64p, f64p, i64p, ctypes.c_int64]
     _LIB = lib
     return _LIB
 
@@ -244,6 +255,64 @@ def encode_lossy32_many(starts: np.ndarray, counts: np.ndarray,
     off_l = (word_off * 8).tolist()
     payloads = [allbytes[o:o + nb] for o, nb in zip(off_l, nbytes)]
     return payloads, block_bits
+
+
+def pmc_filter_many(starts: np.ndarray, counts: np.ndarray,
+                    ts: np.ndarray, vs_f32: np.ndarray, eps: float):
+    """Batch PMC-MR over many series runs.  Returns
+    (t0, t1, value_bits uint32, segs_per_block) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    G = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    vs = np.ascontiguousarray(vs_f32, dtype=np.float32)
+    cap = len(ts) if len(ts) else 1
+    t0 = np.empty(cap, np.int64)
+    t1 = np.empty(cap, np.int64)
+    vb = np.empty(cap, np.uint32)
+    per = np.empty(G, np.int64)
+    got = lib.pmc_filter_blocks(
+        _p(starts, ctypes.c_int64), _p(counts, ctypes.c_int64),
+        _p(ts, ctypes.c_int64), _p(vs, ctypes.c_float), G,
+        ctypes.c_float(np.float32(eps)),
+        _p(t0, ctypes.c_int64), _p(t1, ctypes.c_int64),
+        _p(vb, ctypes.c_uint32), _p(per, ctypes.c_int64), cap)
+    if got < 0:
+        raise ValueError("native pmc filter capacity overflow")
+    return t0[:got], t1[:got], vb[:got], per
+
+
+def swing_filter_many(starts: np.ndarray, counts: np.ndarray,
+                      ts: np.ndarray, vs_f32: np.ndarray, eps: float):
+    """Batch Swing filter.  Returns (t0, t1, a, b, segs_per_block)
+    or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    G = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    vs = np.ascontiguousarray(vs_f32, dtype=np.float32)
+    cap = len(ts) if len(ts) else 1
+    t0 = np.empty(cap, np.int64)
+    t1 = np.empty(cap, np.int64)
+    a = np.empty(cap, np.float64)
+    b = np.empty(cap, np.float64)
+    per = np.empty(G, np.int64)
+    got = lib.swing_filter_blocks(
+        _p(starts, ctypes.c_int64), _p(counts, ctypes.c_int64),
+        _p(ts, ctypes.c_int64), _p(vs, ctypes.c_float), G,
+        ctypes.c_float(np.float32(eps)),
+        _p(t0, ctypes.c_int64), _p(t1, ctypes.c_int64),
+        _p(a, ctypes.c_double), _p(b, ctypes.c_double),
+        _p(per, ctypes.c_int64), cap)
+    if got < 0:
+        raise ValueError("native swing filter capacity overflow")
+    return t0[:got], t1[:got], a[:got], b[:got], per
 
 
 def encode_many(starts: np.ndarray, counts: np.ndarray,

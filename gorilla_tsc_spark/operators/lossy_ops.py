@@ -56,9 +56,18 @@ def _series_points(events: DataFrame) -> DataFrame:
 
 def _pmc_kernel(eps: float):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..codec import native
         pdf = pdf.sort_values("t", kind="mergesort")
-        segs = pmc_mr_filter(pdf["t"].to_numpy(np.int64),
-                             pdf["v"].to_numpy(np.float32), eps)
+        ts = pdf["t"].to_numpy(np.int64)
+        vs = pdf["v"].to_numpy(np.float32)
+        one = np.array([0], np.int64), np.array([len(ts)], np.int64)
+        res = native.pmc_filter_many(*one, ts, vs, eps)
+        if res is not None:
+            t0, t1, vb, _ = res
+            return pd.DataFrame({
+                "series": pdf["series"].iloc[0], "t0": t0, "t1": t1,
+                "value": vb.view(np.float32).astype(np.float64)})
+        segs = pmc_mr_filter(ts, vs, eps)
         return pd.DataFrame(
             [(pdf["series"].iloc[0], s.t0, s.t1, float(s.value))
              for s in segs],
@@ -68,9 +77,18 @@ def _pmc_kernel(eps: float):
 
 def _swing_kernel(eps: float):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..codec import native
         pdf = pdf.sort_values("t", kind="mergesort")
-        segs = swing_filter(pdf["t"].to_numpy(np.int64),
-                            pdf["v"].to_numpy(np.float32), eps)
+        ts = pdf["t"].to_numpy(np.int64)
+        vs = pdf["v"].to_numpy(np.float32)
+        one = np.array([0], np.int64), np.array([len(ts)], np.int64)
+        res = native.swing_filter_many(*one, ts, vs, eps)
+        if res is not None:
+            t0, t1, a, b, _ = res
+            return pd.DataFrame({
+                "series": pdf["series"].iloc[0], "t0": t0, "t1": t1,
+                "a": a, "b": b})
+        segs = swing_filter(ts, vs, eps)
         return pd.DataFrame(
             [(pdf["series"].iloc[0], s.t0, s.t1,
               float(s.line.a), float(s.line.b)) for s in segs],

@@ -118,6 +118,39 @@ def test_native_lossy32_matches_golden(name):
     assert int(bits_nat[0]) == enc.out.total_bits
 
 
+@pytest.mark.parametrize("mode", ["pmc", "swing"])
+def test_native_filters_match_golden(mode):
+    from gorilla_tsc_spark.codec.lossy import pmc_mr_filter, swing_filter
+    names = [n for n in fixture_names()
+             if load_fixture(n)["mode"].startswith(mode)]
+    assert names
+    for name in names:
+        fx = load_fixture(name)
+        # mode carries epsilon as float32 hex bits
+        eps = float(np.uint32(int(fx["mode"].split(":")[1], 16))
+                    .view(np.float32))
+        vb = np.array([int(v, 16) for _, v in fx["input"]["points"]],
+                      dtype=np.uint32)
+        vs = vb.view(np.float32)
+        ts = np.array([t for t, _ in fx["input"]["points"]], dtype=np.int64)
+        one = np.array([0], np.int64), np.array([len(vs)], np.int64)
+        if mode == "pmc":
+            t0, t1, bits, per = native.pmc_filter_many(*one, ts, vs, eps)
+            segs = pmc_mr_filter(ts, vs, eps)
+            assert int(per[0]) == len(segs)
+            assert t0.tolist() == [s.t0 for s in segs]
+            assert t1.tolist() == [s.t1 for s in segs]
+            assert bits.tolist() == [s.value_bits for s in segs]
+        else:
+            t0, t1, a, b, per = native.swing_filter_many(*one, ts, vs, eps)
+            segs = swing_filter(ts, vs, eps)
+            assert int(per[0]) == len(segs)
+            assert t0.tolist() == [s.t0 for s in segs]
+            assert t1.tolist() == [s.t1 for s in segs]
+            assert a.tolist() == [s.line.a for s in segs]
+            assert b.tolist() == [s.line.b for s in segs]
+
+
 def _random_partition(seed: int):
     rng = np.random.default_rng(seed)
     all_ts, all_vb, starts, counts, bts = [], [], [], [], []
