@@ -106,3 +106,21 @@ def lang_id_cols(d: str) -> list[tuple[str, str]]:
         ("pred_lang", best),
         ("cjk_chars", f"CAST({cjk} AS BIGINT)"),
     ]
+
+
+def pii_scan_cols(d: str) -> list[tuple[str, str]]:
+    """PII-pattern surface counts — the pre-filter a training-data
+    pipeline runs before redaction: emails, URLs, and long digit runs
+    (phone/account-shaped).  Pure regex projections (codegen'd;
+    replayed verbatim by the oracle)."""
+    email_s = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    email_d = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url_s = url_d = r"https?://[^ \t\r\n]+"
+    dig_s = dig_d = r"[0-9]{7,}"
+    return [
+        ("doc_id", "doc_id"),
+        ("emails", f"CAST({P.count_regex('text', email_s, email_d, d)} AS BIGINT)"),
+        ("urls", f"CAST({P.count_regex('text', url_s, url_d, d)} AS BIGINT)"),
+        ("long_digit_runs",
+         f"CAST({P.count_regex('text', dig_s, dig_d, d)} AS BIGINT)"),
+    ]

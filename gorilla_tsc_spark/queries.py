@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from .functions import portable as P
 from .functions import textstats
 from .functions.channels import Channel
-from .operators import dedup, lossy_ops, multimodal, similarity
+from .operators import dedup, lossy_ops, multimodal, similarity, traindata
 from .operators.encode import block_value_column, decode_blocks, encode_blocks
 from .operators.gapfill import gapfill
 from .operators.retention import RetentionPolicy, apply_retention, serve_union
@@ -684,6 +684,22 @@ def _textstat_sql(cols_fn) -> str:
     return f"SELECT {cols} FROM documents"
 
 
+def q_pii_scan(spark, sf_dir):
+    return _textstat_query(textstats.pii_scan_cols)(spark, sf_dir)
+
+
+def q_pack_bins(spark, sf_dir):
+    """Sequence packing: greedy in-order token binning per shard
+    (operators/traindata.py)."""
+    return traindata.pack_bins(_docs(spark, sf_dir))
+
+
+def q_quota_sample(spark, sf_dir):
+    """Deterministic per-language quota sampling (LCG keep decision —
+    the oracle replays the exact sample)."""
+    return traindata.quota_sample(_docs(spark, sf_dir))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Byte features over binary payloads (Arrow mapInPandas kernel).
 
@@ -930,6 +946,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _textstat_query(textstats.quality_cols),
         "token_count": _textstat_query(textstats.token_count_cols),
         "doc_fingerprint": _textstat_query(textstats.fingerprint_cols),
+        "pii_scan": q_pii_scan,
+        "pack_bins": q_pack_bins,
+        "quota_sample": q_quota_sample,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "block_stats": q_block_stats,
@@ -1076,7 +1095,10 @@ WHERE bucket >= day0 - {_POLICY.keep_1h_days * DAY_MS}"""),
         "quality_score": _textstat_sql(textstats.quality_cols),
         "token_count": _textstat_sql(textstats.token_count_cols),
         "doc_fingerprint": _textstat_sql(textstats.fingerprint_cols),
+        "pii_scan": _textstat_sql(textstats.pii_scan_cols),
         "frame_sample": FRAME_SAMPLE_SQL,
+        "pack_bins": traindata.pack_bins_sql(),
+        "quota_sample": traindata.quota_sample_sql(),
         "multimodal_features": MULTIMODAL_SQL,
         "codec_v1_roundtrip": VALUEONLY_SQL_64,
         "codec_v32_roundtrip": VALUEONLY_SQL_32,
