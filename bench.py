@@ -103,6 +103,7 @@ def main() -> None:
         "simhash", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
         "embedding_dup_pairs",
         "lang_id", "quality_score", "token_count", "doc_fingerprint",
+        "pii_scan", "pack_bins", "curation_funnel",
         "multimodal_features",
     ]
     qs = Q.build_queries()

@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 from ..functions import portable as P
 from ..functions import textstats
 
+#: sandbox-sized defaults: at warehouse scale set n_shards ∝ cluster
+#: parallelism (e.g. 4× executor count) — packing quality is per-shard
+#: local, so more shards only change bin boundaries, not the contract
 N_SHARDS = 8
 BIN_BUDGET = 256          # ws-tokens per bin (sandbox-sized context)
 

@@ -700,6 +700,79 @@ def q_quota_sample(spark, sf_dir):
     return traindata.quota_sample(_docs(spark, sf_dir))
 
 
+FUNNEL_QUALITY_TAU = 0.5
+
+
+def q_curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel — the whole training-data story as
+    one plan: quality+language filter → exact dedup (keep min doc_id
+    per md5) → near-dup drop (LSH pair b_ids) → language quota sample →
+    greedy sequence packing → per-bin summary.  Every stage is an
+    already-gated operator; this gates their COMPOSITION (filter
+    pushdown, semi/anti joins, the packing window) against one oracle.
+    """
+    q = dict(textstats.quality_cols(P.SPARK))["quality"]
+    lang = dict(textstats.lang_id_cols(P.SPARK))["pred_lang"]
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", "text", F.expr(q).alias("quality"),
+                       F.expr(lang).alias("pred_lang"))
+    kept = base.where((F.col("quality") >= FUNNEL_QUALITY_TAU)
+                      & (F.col("pred_lang") != "und"))
+    keep_ids = (kept.groupBy(F.md5("text").alias("h"))
+                .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    kept = kept.join(keep_ids, "doc_id", "left_semi")
+    near_drop = (dedup.lsh_pairs(docs)
+                 .select(F.col("b_id").alias("doc_id")).distinct())
+    kept = kept.join(near_drop, "doc_id", "left_anti")
+    kept = kept.where(F.expr(
+        f"{traindata._LCG_SQL} % 100 < "
+        f"CASE WHEN pred_lang = 'en' THEN {traindata.QUOTA['en']} "
+        f"WHEN pred_lang = 'zh' THEN {traindata.QUOTA['zh']} "
+        f"ELSE {traindata.QUOTA_DEFAULT} END"))
+    packed = traindata.pack_bins(kept.select("doc_id", "text"))
+    return (packed.groupBy("shard", "bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("tok").alias("tok_sum")))
+
+
+def _curation_funnel_sql(d: str = P.DUCK) -> str:
+    q = dict(textstats.quality_cols(d))["quality"]
+    lang = dict(textstats.lang_id_cols(d))["pred_lang"]
+    tok = dict(textstats.token_count_cols(d))["ws_tokens"]
+    from .operators.traindata import (BIN_BUDGET, N_SHARDS, QUOTA,
+                                      QUOTA_DEFAULT, _LCG_SQL)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {q} AS quality, {lang} AS pred_lang FROM documents),
+kept0 AS (
+  SELECT * FROM base
+  WHERE quality >= {FUNNEL_QUALITY_TAU} AND pred_lang <> 'und'),
+keep_ids AS (
+  SELECT min(doc_id) AS doc_id FROM kept0 GROUP BY md5(text)),
+near_drop AS (
+  SELECT DISTINCT b_id AS doc_id FROM ({dedup.lsh_pairs_sql(d)})),
+kept AS (
+  SELECT * FROM kept0
+  WHERE doc_id IN (SELECT doc_id FROM keep_ids)
+    AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+    AND {_LCG_SQL} % 100 <
+        CASE WHEN pred_lang = 'en' THEN {QUOTA['en']}
+             WHEN pred_lang = 'zh' THEN {QUOTA['zh']}
+             ELSE {QUOTA_DEFAULT} END),
+toks AS (
+  SELECT doc_id, doc_id % {N_SHARDS} AS shard, {tok} AS tok FROM kept),
+packed AS (
+  SELECT doc_id, shard, tok,
+         CAST(floor((sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - tok)
+                    / {BIN_BUDGET}) AS BIGINT) AS bin
+  FROM toks)
+SELECT shard, bin, count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS tok_sum
+FROM packed GROUP BY shard, bin
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Byte features over binary payloads (Arrow mapInPandas kernel).
 
@@ -949,6 +1022,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "pack_bins": q_pack_bins,
         "quota_sample": q_quota_sample,
+        "curation_funnel": q_curation_funnel,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "block_stats": q_block_stats,
@@ -1099,6 +1173,7 @@ WHERE bucket >= day0 - {_POLICY.keep_1h_days * DAY_MS}"""),
         "frame_sample": FRAME_SAMPLE_SQL,
         "pack_bins": traindata.pack_bins_sql(),
         "quota_sample": traindata.quota_sample_sql(),
+        "curation_funnel": _curation_funnel_sql(),
         "multimodal_features": MULTIMODAL_SQL,
         "codec_v1_roundtrip": VALUEONLY_SQL_64,
         "codec_v32_roundtrip": VALUEONLY_SQL_32,
