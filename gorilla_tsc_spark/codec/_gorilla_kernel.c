@@ -15,6 +15,7 @@
  * compiler falls back to the NumPy/Python kernels.
  */
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 static inline uint64_t load_be(const uint8_t *p) {
@@ -25,22 +26,79 @@ static inline uint64_t load_be(const uint8_t *p) {
 
 #define M27 ((1u << 27) - 1)
 
+/* ------------------------------------------------ DFCM predictor
+ *
+ * DifferentialFCM (predictors/DifferentialFCM.java:10-47): hash table
+ * of deltas, size rounded UP to the next power of two (Java's
+ * Integer shift-count-mod-32 applies), hash chain
+ * ((h << 5) ^ ((value - lastValue) >> 50)) & mask with an ARITHMETIC
+ * shift of the signed delta.  predict = table[hash] + lastValue. */
+typedef struct {
+    uint64_t *table;
+    uint64_t mask;
+    uint64_t last_value;
+    uint64_t last_hash;
+} Dfcm;
+
+static inline int64_t dfcm_pow2_size(int64_t size) {
+    size -= 1;
+    int lz = size ? __builtin_clzll((uint64_t)size) : 64;
+    return (int64_t)1 << ((64 - lz) & 31);
+}
+
+static inline void dfcm_reset(Dfcm *d, int64_t nslots) {
+    memset(d->table, 0, (size_t)nslots * 8);
+    d->last_value = 0;
+    d->last_hash = 0;
+}
+
+static inline uint64_t dfcm_predict(const Dfcm *d) {
+    return d->table[d->last_hash] + d->last_value;
+}
+
+static inline void dfcm_update(Dfcm *d, uint64_t value) {
+    uint64_t delta = value - d->last_value;
+    d->table[d->last_hash] = delta;
+    d->last_hash = ((d->last_hash << 5)
+                    ^ (uint64_t)((int64_t)delta >> 50)) & d->mask;
+    d->last_value = value;
+}
+
 /* Decode nblocks payloads from one concatenated byte buffer.
  *
  * buf        : all payloads back to back, >= 16 zero bytes appended
  * byte_off   : per-block start offset into buf (nblocks entries)
  * nblocks    : number of blocks
+ * expected   : per-block expected point counts (block metadata) — a
+ *              block that tries to decode MORE than its expected count
+ *              fails immediately, so a corrupted/truncated payload can
+ *              never walk past its own bytes into the zero pad (zeros
+ *              decode as dod=0 repeats) and out of the buffer
  * ts_out     : output timestamps, capacity = sum(expected)
  * v_out      : output raw value words, same capacity
  * out_cnt    : per-block decoded point counts (written)
+ * cap        : total output capacity
+ * pred_size  : 0 = last-value predictor, >0 = DifferentialFCM with
+ *              this table size (both codec ends must agree,
+ *              README.adoc:76-77)
  *
- * Returns total points decoded, or -1 - block_index on overflow of
- * the provided capacity (cap).
+ * Returns total points decoded, or -1 - block_index on a per-block
+ * expected-count / capacity overflow, or -1000000000 on OOM.
  */
 int64_t decode_blocks_v2(const uint8_t *buf, const int64_t *byte_off,
-                         int64_t nblocks, int64_t *ts_out, uint64_t *v_out,
-                         int64_t *out_cnt, int64_t cap) {
+                         int64_t nblocks, const int64_t *expected,
+                         int64_t *ts_out, uint64_t *v_out,
+                         int64_t *out_cnt, int64_t cap, int64_t pred_size) {
     int64_t total = 0;
+    Dfcm df = {0, 0, 0, 0};
+    int64_t nslots = 0;
+    const int use_dfcm = pred_size > 0;
+    if (use_dfcm) {
+        nslots = dfcm_pow2_size(pred_size);
+        df.table = (uint64_t *)malloc((size_t)nslots * 8);
+        if (!df.table) return -1000000000;
+        df.mask = (uint64_t)(nslots - 1);
+    }
     for (int64_t b = 0; b < nblocks; b++) {
         const uint8_t *base = buf + byte_off[b];
         int64_t pos;             /* next word index */
@@ -53,6 +111,8 @@ int64_t decode_blocks_v2(const uint8_t *buf, const int64_t *byte_off,
         bl = 64;
 
         int64_t n = 0;
+        const int64_t exp = expected[b];
+        if (use_dfcm) dfcm_reset(&df, nslots);
 
         /* first delta: 27 bits */
         uint64_t d;
@@ -80,10 +140,11 @@ int64_t decode_blocks_v2(const uint8_t *buf, const int64_t *byte_off,
         }
         int64_t ts = (int64_t)block_ts + (int64_t)d;
         int64_t delta = (int64_t)d;
-        if (total >= cap) return -1 - b;
+        if (total >= cap || n >= exp) { free(df.table); return -1 - b; }
         ts_out[total] = ts;
         v_out[total] = val;
         total++; n++;
+        if (use_dfcm) dfcm_update(&df, val);
 
         int slz = 1 << 30;
         int stz = 0;
@@ -125,7 +186,7 @@ int64_t decode_blocks_v2(const uint8_t *buf, const int64_t *byte_off,
                 delta += ddz;
             }
             ts += delta;
-            if (total >= cap) return -1 - b;
+            if (total >= cap || n >= exp) { free(df.table); return -1 - b; }
             ts_out[total] = ts;
 
             /* value: next_clear_bit(2) */
@@ -168,13 +229,22 @@ int64_t decode_blocks_v2(const uint8_t *buf, const int64_t *byte_off,
                     x = (x << nb) | (cur >> (64 - nb));
                     bl = 64 - nb;
                 }
-                val ^= x << stz;
+                /* predict ^ meaningful-xor; with the last-value
+                 * predictor this is the classic val ^= x<<stz */
+                val = (use_dfcm ? dfcm_predict(&df) : val) ^ (x << stz);
+            } else if (use_dfcm) {
+                /* repeat path: value = predict(); the decoder updates
+                 * its predictor on EVERY value, exactly inverting the
+                 * encoder (see codec/gorilla.py GorillaDecoder note) */
+                val = dfcm_predict(&df);
             }
+            if (use_dfcm) dfcm_update(&df, val);
             v_out[total] = val;
             total++; n++;
         }
         out_cnt[b] = n;
     }
+    free(df.table);
     return total;
 }
 
@@ -210,7 +280,7 @@ static inline void wr(Writer *o, uint64_t v, int n) {
  * (0 = repeat, 10 = reuse window, 11 = new lz/sig header), XOR chain,
  * canonical-NaN terminator. */
 int64_t decode_values(const uint8_t *buf, const int64_t *byte_off,
-                      int64_t nblocks, int word,
+                      int64_t nblocks, int word, const int64_t *expected,
                       uint64_t *v_out, int64_t *out_cnt, int64_t cap) {
     const int w = word;
     const uint64_t nan = (w == 64) ? 0x7FF8000000000000ull : 0x7FC00000ull;
@@ -240,10 +310,11 @@ int64_t decode_values(const uint8_t *buf, const int64_t *byte_off,
     (dst) = _v; \
 } while (0)
 
+        const int64_t exp = expected[b];
         uint64_t val;
         RD(w, val);
         if (val == nan) { out_cnt[b] = 0; continue; }
-        if (total >= cap) return -1 - b;
+        if (total >= cap || n >= exp) return -1 - b;
         v_out[total++] = val; n++;
 
         int slz = 1 << 30, stz = 0;
@@ -267,7 +338,7 @@ int64_t decode_values(const uint8_t *buf, const int64_t *byte_off,
                 val ^= x;
                 if (val == nan) break;
             }
-            if (total >= cap) return -1 - b;
+            if (total >= cap || n >= exp) return -1 - b;
             v_out[total++] = val; n++;
         }
 #undef RD
@@ -555,20 +626,32 @@ int64_t encode_lossy32(const int64_t *starts, const int64_t *counts,
  * word_off      : per-block start word index (written)
  * block_bits    : per-block payload bit length (written)
  *
- * Returns total words used, or -1 on overflow.
+ * Returns total words used, -1 on overflow, -1000000000 on OOM.
+ * pred_size: 0 = last-value predictor, >0 = DifferentialFCM table size.
  */
 int64_t encode_blocks_v2(const int64_t *starts, const int64_t *counts,
                          const int64_t *block_ts, const int64_t *ts,
                          const uint64_t *vbits, int64_t nblocks,
                          uint64_t *words, int64_t cap_words,
-                         int64_t *word_off, int64_t *block_bits) {
+                         int64_t *word_off, int64_t *block_bits,
+                         int64_t pred_size) {
     int64_t widx = 0;
+    Dfcm df = {0, 0, 0, 0};
+    int64_t nslots = 0;
+    const int use_dfcm = pred_size > 0;
+    if (use_dfcm) {
+        nslots = dfcm_pow2_size(pred_size);
+        df.table = (uint64_t *)malloc((size_t)nslots * 8);
+        if (!df.table) return -1000000000;
+        df.mask = (uint64_t)(nslots - 1);
+    }
     for (int64_t b = 0; b < nblocks; b++) {
         int64_t s = starts[b], n = counts[b];
         /* worst case words for this block: header 64+27+64 + n*(36+78)
          * + terminator 37 bits */
         int64_t worst = (64 + 27 + 64 + 37 + n * 114) / 64 + 2;
-        if (widx + worst > cap_words) return -1;
+        if (widx + worst > cap_words) { free(df.table); return -1; }
+        if (use_dfcm) dfcm_reset(&df, nslots);
         Writer o = { words, widx, 64 };
         int64_t bts = block_ts[b];
         wr(&o, (uint64_t)bts, 64);
@@ -578,6 +661,7 @@ int64_t encode_blocks_v2(const int64_t *starts, const int64_t *counts,
         int64_t ts_prev = ts[s];
         int64_t delta_prev = first_delta;
         uint64_t val_prev = vbits[s];
+        if (use_dfcm) dfcm_update(&df, vbits[s]);
         int slz = 1 << 30, stz = 0;
         for (int64_t i = s + 1; i < s + n; i++) {
             /* timestamp: delta-of-delta buckets (int32 wrap like the
@@ -597,9 +681,12 @@ int64_t encode_blocks_v2(const int64_t *starts, const int64_t *counts,
                 else if (zz >= 1u && zz < 4096u) wr(&o, (0x0Eull << 12) | zz, 16);
                 else                             wr(&o, (0x0Full << 32) | zz, 36);
             }
-            /* value: XOR chain with window reuse */
-            uint64_t x = val_prev ^ vbits[i];
+            /* value: XOR chain with window reuse (predict ^ value —
+             * last-value predict is simply the previous value) */
+            uint64_t x = (use_dfcm ? dfcm_predict(&df) : val_prev)
+                         ^ vbits[i];
             val_prev = vbits[i];
+            if (use_dfcm) dfcm_update(&df, vbits[i]);
             if (x == 0) {
                 wr(&o, 0, 1);
             } else {
@@ -627,5 +714,6 @@ int64_t encode_blocks_v2(const int64_t *starts, const int64_t *counts,
         block_bits[b] = bits;
         widx = o.widx + (o.bl < 64 ? 1 : 0);
     }
+    free(df.table);
     return widx;
 }

@@ -47,15 +47,40 @@ def group_runs(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def encode_partition(starts: np.ndarray, counts: np.ndarray,
                      block_ts: np.ndarray, ts: np.ndarray,
-                     vbits: np.ndarray):
+                     vbits: np.ndarray, predictor: str | None = None):
     """Encode every group in one pass — native C kernel when available
     (codec/native.py, bit-identical, ~50× faster inner loop), else the
-    vectorized NumPy path below."""
+    vectorized NumPy path below (last-value) or the scalar reference
+    codec (custom predictors: the XOR chain depends on the prediction,
+    so it cannot be pre-vectorized)."""
     from . import native
-    res = native.encode_many(starts, counts, block_ts, ts, vbits)
+    from .gorilla import dfcm_table_size
+    pred_size = dfcm_table_size(predictor)
+    res = native.encode_many(starts, counts, block_ts, ts, vbits,
+                             pred_size=pred_size)
     if res is not None:
         return res
+    if pred_size:
+        return _encode_scalar_runs(starts, counts, block_ts, ts, vbits,
+                                   predictor)
     return encode_partition_numpy(starts, counts, block_ts, ts, vbits)
+
+
+def _encode_scalar_runs(starts, counts, block_ts, ts, vbits,
+                        predictor: str | None):
+    """Per-block scalar fallback for custom predictors (reference
+    implementation; bit-identical to the native DFCM path)."""
+    from .gorilla import encode_block
+    payloads: list[bytes] = []
+    nbits = np.empty(len(starts), dtype=np.int64)
+    for i in range(len(starts)):
+        s, c = int(starts[i]), int(counts[i])
+        enc = encode_block(int(block_ts[i]), ts[s:s + c], vbits[s:s + c],
+                           predictor)
+        enc.close()
+        payloads.append(enc.to_bytes())
+        nbits[i] = enc.n_bits
+    return payloads, nbits
 
 
 def encode_partition_numpy(starts: np.ndarray, counts: np.ndarray,

@@ -93,8 +93,18 @@ def make_predictor(spec: str | None):
     if spec is None or spec == "last_value":
         return LastValuePredictor()
     if spec.startswith("dfcm"):
-        size = int(spec.split(":")[1]) if ":" in spec else 1024
-        return DifferentialFCM(size)
+        return DifferentialFCM(dfcm_table_size(spec))
+    raise ValueError(f"unknown predictor {spec!r}")
+
+
+def dfcm_table_size(spec: str | None) -> int:
+    """DFCM table size for a predictor spec; 0 = not DFCM (last-value).
+    Shared by the Python predictors and the native kernel dispatch so
+    both ends always agree on the table size."""
+    if spec is None or spec == "last_value":
+        return 0
+    if spec.startswith("dfcm"):
+        return int(spec.split(":")[1]) if ":" in spec else 1024
     raise ValueError(f"unknown predictor {spec!r}")
 
 

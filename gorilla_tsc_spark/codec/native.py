@@ -46,17 +46,67 @@ def _read_src() -> bytes | None:
         return None
 
 
+def _cache_dir() -> str | None:
+    """Per-user private cache directory for the compiled kernel.
+
+    A world-writable shared temp dir would let another local user
+    pre-plant a .so at the predictable path and have every executor
+    dlopen it as native code — so the cache lives in a mode-0700
+    directory owned by this uid (~/.cache when HOME is usable, else a
+    per-uid subdir of the temp dir), and ownership+mode are verified
+    before any existing artifact is reused.
+    """
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    candidates = []
+    home = os.path.expanduser("~")
+    if home and home != "~":
+        candidates.append(os.path.join(home, ".cache", "gorilla_tsc_spark"))
+    candidates.append(
+        os.path.join(tempfile.gettempdir(), f"gorilla_kernel_u{uid}"))
+    for d in candidates:
+        try:
+            os.makedirs(d, mode=0o700, exist_ok=True)
+            st = os.stat(d)
+            if st.st_uid != uid or (st.st_mode & 0o077):
+                # pre-existing dir we don't exclusively own — repair
+                # mode if we own it, otherwise refuse it
+                if st.st_uid == uid:
+                    os.chmod(d, 0o700)
+                else:
+                    continue
+            return d
+        except OSError:
+            continue
+    return None
+
+
+def _safe_artifact(path: str) -> bool:
+    """True if ``path`` exists, is a regular file owned by this uid,
+    and is not writable by group/other."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    import stat as stat_mod
+    return (stat_mod.S_ISREG(st.st_mode) and st.st_uid == uid
+            and not (st.st_mode & 0o022))
+
+
 def _build() -> str | None:
     src = _read_src()
     if src is None:
         return None
+    cache = _cache_dir()
+    if cache is None:
+        return None
     tag = hashlib.sha256(src).hexdigest()[:16]
-    so = os.path.join(tempfile.gettempdir(), f"gorilla_kernel_{tag}.so")
-    if os.path.exists(so):
+    so = os.path.join(cache, f"gorilla_kernel_{tag}.so")
+    if _safe_artifact(so):
         return so
     # compile from a materialized copy of the source (works whether the
     # package lives on disk or inside a shipped zip)
-    cpath = os.path.join(tempfile.gettempdir(), f"gorilla_kernel_{tag}.c")
+    cpath = os.path.join(cache, f"gorilla_kernel_{tag}.c")
     if not os.path.exists(cpath):
         ctmp = cpath + f".{os.getpid()}.tmp"
         with open(ctmp, "wb") as f:
@@ -96,14 +146,15 @@ def get_lib():
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.decode_blocks_v2.restype = ctypes.c_int64
     lib.decode_blocks_v2.argtypes = [
-        u8p, i64p, ctypes.c_int64, i64p, u64p, i64p, ctypes.c_int64]
+        u8p, i64p, ctypes.c_int64, i64p, i64p, u64p, i64p,
+        ctypes.c_int64, ctypes.c_int64]
     lib.encode_blocks_v2.restype = ctypes.c_int64
     lib.encode_blocks_v2.argtypes = [
         i64p, i64p, i64p, i64p, u64p, ctypes.c_int64,
-        u64p, ctypes.c_int64, i64p, i64p]
+        u64p, ctypes.c_int64, i64p, i64p, ctypes.c_int64]
     lib.decode_values.restype = ctypes.c_int64
     lib.decode_values.argtypes = [
-        u8p, i64p, ctypes.c_int64, ctypes.c_int,
+        u8p, i64p, ctypes.c_int64, ctypes.c_int, i64p,
         u64p, i64p, ctypes.c_int64]
     lib.encode_values.restype = ctypes.c_int64
     lib.encode_values.argtypes = [
@@ -132,13 +183,16 @@ def _p(a: np.ndarray, ct):
     return a.ctypes.data_as(ctypes.POINTER(ct))
 
 
-def decode_many(payloads: list[bytes], expected: np.ndarray):
+def decode_many(payloads: list[bytes], expected: np.ndarray,
+                pred_size: int = 0):
     """Decode many v2 payloads in ONE native call.
 
     Returns (ts, vbits, counts) or None if the native path is
     unavailable.  ``expected`` (per-block point counts from block
-    metadata) sizes the output; a count mismatch raises — that would
-    mean corrupt payloads or metadata drift.
+    metadata) sizes the output AND bounds each block — a payload that
+    tries to decode past its expected count fails inside the kernel
+    before it can read beyond its own bytes.  ``pred_size`` > 0 selects
+    the DifferentialFCM predictor with that table size.
     """
     lib = get_lib()
     if lib is None:
@@ -155,11 +209,13 @@ def decode_many(payloads: list[bytes], expected: np.ndarray):
     cnt = np.empty(n, dtype=np.int64)
     got = lib.decode_blocks_v2(
         _p(buf, ctypes.c_uint8), _p(off, ctypes.c_int64), n,
+        _p(expected, ctypes.c_int64),
         _p(ts, ctypes.c_int64), _p(vb, ctypes.c_uint64),
-        _p(cnt, ctypes.c_int64), cap)
+        _p(cnt, ctypes.c_int64), cap, pred_size)
     if got < 0:
-        raise ValueError(f"native decode overflow at block {-1 - got}: "
-                         f"payload longer than its n_points metadata")
+        raise ValueError(
+            f"native decode overflow at block {-1 - got}: decoded past "
+            f"its n_points metadata (corrupt or truncated payload)")
     if got != cap or not np.array_equal(cnt, expected):
         raise ValueError("native decode count mismatch vs block metadata")
     return ts, vb, cnt
@@ -185,6 +241,7 @@ def decode_values_many(payloads: list[bytes], expected: np.ndarray, word: int):
     cnt = np.empty(n, dtype=np.int64)
     got = lib.decode_values(
         _p(buf, ctypes.c_uint8), _p(off, ctypes.c_int64), n, word,
+        _p(expected, ctypes.c_int64),
         _p(vb, ctypes.c_uint64), _p(cnt, ctypes.c_int64), cap)
     if got < 0:
         raise ValueError(f"native value decode overflow at block {-1 - got}")
@@ -316,10 +373,11 @@ def swing_filter_many(starts: np.ndarray, counts: np.ndarray,
 
 
 def encode_many(starts: np.ndarray, counts: np.ndarray,
-                block_ts: np.ndarray, ts: np.ndarray, vbits: np.ndarray):
+                block_ts: np.ndarray, ts: np.ndarray, vbits: np.ndarray,
+                pred_size: int = 0):
     """Encode many blocks in ONE native call — drop-in for
     codec/batch.encode_partition.  Returns (payloads, block_bits) or
-    None if unavailable."""
+    None if unavailable.  ``pred_size`` > 0 selects DifferentialFCM."""
     lib = get_lib()
     if lib is None:
         return None
@@ -341,7 +399,8 @@ def encode_many(starts: np.ndarray, counts: np.ndarray,
         _p(block_ts, ctypes.c_int64), _p(ts, ctypes.c_int64),
         _p(vbits, ctypes.c_uint64), G,
         _p(words, ctypes.c_uint64), cap_words,
-        _p(word_off, ctypes.c_int64), _p(block_bits, ctypes.c_int64))
+        _p(word_off, ctypes.c_int64), _p(block_bits, ctypes.c_int64),
+        pred_size)
     if used < 0:
         raise ValueError("native encode word-buffer overflow")
     allbytes = words[:used].byteswap().tobytes()

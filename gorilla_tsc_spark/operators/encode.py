@@ -296,7 +296,8 @@ def encode_blocks(transcripts: DataFrame, channels: list[Channel] | None = None,
     return encode_points(pts, channels, predictor, shuffle_partitions, span=span)
 
 
-def _make_packed_kernel(channels: list[Channel], span: str = "day"):
+def _make_packed_kernel(channels: list[Channel], span: str = "day",
+                        predictor: str | None = None):
     """Kernel over PRE-GROUPED block rows: each input row is one block
     with primitive array columns (ts + one per channel). The JVM→Python
     Arrow boundary costs ~2µs per ROW (row→columnar conversion), which
@@ -357,7 +358,8 @@ def _make_packed_kernel(channels: list[Channel], span: str = "day"):
                     lv = col.astype(np.int64)
                     bits = lv.view(np.uint64)
                     vals = lv.astype(np.float64)
-                payloads, nbits = encode_partition(starts, counts, g_bts, ts, bits)
+                payloads, nbits = encode_partition(
+                    starts, counts, g_bts, ts, bits, predictor)
                 frames.append(pd.DataFrame({
                     "conv_id": conv_arr,
                     "channel": name,
@@ -408,53 +410,58 @@ def encode_points(pts: DataFrame, channels: list[Channel],
                   predictor: str | None = None,
                   shuffle_partitions: int | None = None,
                   span: str = "day") -> DataFrame:
-    """Encode pre-projected point rows (points_for_encode output)."""
-    if predictor not in (None, "last_value"):
-        if span != "day":
-            # the scalar kernel derives block_ts from the day column and
-            # does no gap splitting — under span="auto" day is 0, so the
-            # first delta (~1.7e12 ms) would truncate to 27 bits and
-            # silently corrupt the stream
-            raise ValueError(
-                f"span={span!r} requires the last_value predictor; "
-                f"custom predictors only support span='day'")
-        return pts.groupBy("conv_id", "day", "seq").applyInPandas(
-            _make_encode_kernel(channels, predictor), schema=BLOCKS_SCHEMA,
-        )
+    """Encode pre-projected point rows (points_for_encode output).
+
+    All predictors run through the packed JVM-grouping + batch-kernel
+    path; the DFCM chain executes in the native C kernel
+    (codec/_gorilla_kernel.c, DifferentialFCM.java:10-47 semantics)
+    with the scalar Python codec as fallback/reference."""
+    if predictor not in (None, "last_value") and span != "day":
+        # the custom-predictor path derives block_ts from the day
+        # column and does no gap splitting — under span="auto" day is
+        # 0, so the first delta (~1.7e12 ms) would truncate to 27 bits
+        # and silently corrupt the stream
+        raise ValueError(
+            f"span={span!r} requires the last_value predictor; "
+            f"custom predictors only support span='day'")
     return pack_blocks(pts, channels).mapInPandas(
-        _make_packed_kernel(channels, span=span), schema=BLOCKS_SCHEMA)
+        _make_packed_kernel(channels, span=span, predictor=predictor),
+        schema=BLOCKS_SCHEMA)
 
 
 def _decode_iter(pdf_iter, predictor: str | None):
     from ..codec import native
     from ..codec.fastdecode import decode_payload
+    from ..codec.gorilla import dfcm_table_size
 
     fast = predictor in (None, "last_value")
+    pred_size = dfcm_table_size(predictor)  # validates the spec
     for pdf in pdf_iter:
         payloads = pdf["payload"].tolist()
-        if fast:
-            # native C batch decode: one call per Arrow batch, output
-            # presized from block metadata (counts cross-checked)
-            res = native.decode_many(
-                [bytes(p) for p in payloads],
-                pdf["n_points"].to_numpy(np.int64))
-            if res is not None:
-                ts_a, bits, lens = res
-                n = len(ts_a)
-                if n == 0:
-                    continue
-                conv = np.repeat(pdf["conv_id"].to_numpy(), lens)
-                chan = np.repeat(pdf["channel"].to_numpy(), lens)
-                kind = np.repeat(pdf["kind"].to_numpy(), lens)
-                is_double = kind == "double"
-                vd = np.where(is_double, bits.view(np.float64), np.nan)
-                vl = pd.arrays.IntegerArray(bits.view(np.int64).copy(),
-                                            is_double)
-                yield pd.DataFrame({
-                    "conv_id": conv, "channel": chan, "kind": kind,
-                    "ts_ms": ts_a, "v_double": vd, "v_long": vl,
-                })
+        # native C batch decode (all predictors): one call per Arrow
+        # batch, output presized from block metadata (counts
+        # cross-checked, each block's decode bounded by its n_points)
+        res = native.decode_many(
+            [bytes(p) for p in payloads],
+            pdf["n_points"].to_numpy(np.int64),
+            pred_size=pred_size)
+        if res is not None:
+            ts_a, bits, lens = res
+            n = len(ts_a)
+            if n == 0:
                 continue
+            conv = np.repeat(pdf["conv_id"].to_numpy(), lens)
+            chan = np.repeat(pdf["channel"].to_numpy(), lens)
+            kind = np.repeat(pdf["kind"].to_numpy(), lens)
+            is_double = kind == "double"
+            vd = np.where(is_double, bits.view(np.float64), np.nan)
+            vl = pd.arrays.IntegerArray(bits.view(np.int64).copy(),
+                                        is_double)
+            yield pd.DataFrame({
+                "conv_id": conv, "channel": chan, "kind": kind,
+                "ts_ms": ts_a, "v_double": vd, "v_long": vl,
+            })
+            continue
         ts_l: list[int] = []
         v_l: list[int] = []
         lens = np.empty(len(pdf), dtype=np.int64)

@@ -45,8 +45,12 @@ def gapfill(tier: DataFrame, bucket_ms: int, how: str = "locf",
         # TimescaleDB-style interpolate(): gap values lie on the line
         # between the surrounding observed buckets; boundary gaps (none
         # here — the grid spans observed min..max) would stay null.
-        # Exact cross-engine: the fraction is a ratio of exact bucket
-        # longs and the tier values are integer-valued doubles.
+        # Exact cross-engine: the tier values are integer-valued
+        # doubles, and the expression multiplies BEFORE dividing —
+        # (nv-pv)*(bucket-pb) is an exact product, then one division,
+        # then one rounding — the same order SQL's left-associative
+        # (nv-pv)*(bucket-pb)/(nb-pb) evaluates, so both engines round
+        # the same double.
         wb = Window.partitionBy(*keys).orderBy("bucket")
         wprev = wb.rowsBetween(Window.unboundedPreceding, 0)
         wnext = wb.rowsBetween(0, Window.unboundedFollowing)
@@ -57,10 +61,34 @@ def gapfill(tier: DataFrame, bucket_ms: int, how: str = "locf",
         for c in ("vmin", "vmax", "vsum"):
             pv = F.last(c, ignorenulls=True).over(wprev)
             nv = F.first(c, ignorenulls=True).over(wnext)
-            frac = ((F.col("bucket") - F.col("_pb"))
-                    / (F.col("_nb") - F.col("_pb")))
+            lerp = pv + ((nv - pv) * (F.col("bucket") - F.col("_pb"))
+                         / (F.col("_nb") - F.col("_pb")))
             filled = filled.withColumn(
                 c, F.when(~F.col("is_gap"), F.col(c))
-                    .otherwise(F.round(pv + (nv - pv) * frac, 6)))
+                    .otherwise(F.round(lerp, 6)))
         return filled.drop("_pb", "_nb").fillna({"cnt": 0})
+    if how == "locf_linear":
+        # Both fill families from ONE densified grid + one ordered
+        # window pass per direction — the serving profile that wants
+        # carry-forward for min/max alongside interpolated sums reads
+        # them side by side without re-densifying.
+        wb = Window.partitionBy(*keys).orderBy("bucket")
+        wprev = wb.rowsBetween(Window.unboundedPreceding, 0)
+        wnext = wb.rowsBetween(0, Window.unboundedFollowing)
+        obs_b = F.when(~F.col("is_gap"), F.col("bucket"))
+        filled = (filled
+                  .withColumn("_pb", F.last(obs_b, ignorenulls=True).over(wprev))
+                  .withColumn("_nb", F.first(obs_b, ignorenulls=True).over(wnext)))
+        for c in ("vmin", "vmax", "vsum"):
+            pv = F.last(c, ignorenulls=True).over(wprev)
+            nv = F.first(c, ignorenulls=True).over(wnext)
+            lerp = pv + ((nv - pv) * (F.col("bucket") - F.col("_pb"))
+                         / (F.col("_nb") - F.col("_pb")))
+            filled = (filled
+                      .withColumn(f"{c}_locf", pv)
+                      .withColumn(f"{c}_lin",
+                                  F.when(~F.col("is_gap"), F.col(c))
+                                   .otherwise(F.round(lerp, 6))))
+        return (filled.drop("_pb", "_nb", "vmin", "vmax", "vsum")
+                .fillna({"cnt": 0}))
     raise ValueError(f"unknown fill policy {how!r}")

@@ -530,17 +530,17 @@ def q_tier_percentiles(spark, sf_dir):
     return (pts.groupBy(
         "conv_id",
         (F.floor(F.col("ts_ms") / DAY_MS) * DAY_MS).cast("long").alias("bucket"))
-        .agg(F.expr("percentile(v, 0.5)").alias("p50"),
-             F.expr("percentile(v, 0.9)").alias("p90"),
-             F.expr("percentile(v, 0.99)").alias("p99")))
+        .agg(F.round(F.expr("percentile(v, 0.5)"), 6).alias("p50"),
+             F.round(F.expr("percentile(v, 0.9)"), 6).alias("p90"),
+             F.round(F.expr("percentile(v, 0.99)"), 6).alias("p99")))
 
 
 TIER_PCTL_SQL_BODY = f"""
 SELECT conv_id,
        CAST(floor(ts_ms / {DAY_MS}) AS BIGINT) * {DAY_MS} AS bucket,
-       quantile_cont(v, 0.5) AS p50,
-       quantile_cont(v, 0.9) AS p90,
-       quantile_cont(v, 0.99) AS p99
+       round(quantile_cont(v, 0.5), 6) AS p50,
+       round(quantile_cont(v, 0.9), 6) AS p90,
+       round(quantile_cont(v, 0.99), 6) AS p99
 FROM pts GROUP BY 1, 2
 """
 
