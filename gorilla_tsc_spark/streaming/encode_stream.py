@@ -115,6 +115,76 @@ def make_encode_state_fn(points_per_block: int = 65_536,
     return fn
 
 
+def make_eventtime_state_fn():
+    """Event-time sealer: a (conv_id, day) group's block seals when the
+    stream watermark passes the END OF THAT UTC DAY — the
+    production-faithful policy (a day block is complete once no more
+    in-order data for that day can arrive).  State carries raw points;
+    sealing sorts by (turn_idx, ts) so the payload is bit-identical to
+    the batch encoder for the same point set."""
+    def fn(key, pdf_iter: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        conv_id, day = key[0], int(key[1])
+        if state.hasTimedOut:
+            (ts_l, vb_l, tn_l) = state.get
+            state.remove()
+            if ts_l:
+                row = _seal(conv_id, day,
+                            np.array(ts_l, np.int64), np.array(vb_l, np.int64),
+                            np.array(tn_l, np.int64))
+                yield pd.DataFrame([row], columns=[f.name for f in
+                                                   STREAM_BLOCKS_SCHEMA.fields])
+            return
+        ts_l, vb_l, tn_l = (state.get if state.exists else ([], [], []))
+        ts_l = list(ts_l)
+        vb_l = list(vb_l)
+        tn_l = list(tn_l)
+        for pdf in pdf_iter:
+            ts_l.extend(pdf["ts_ms"].astype("int64").tolist())
+            vb_l.extend(pdf["v"].to_numpy(np.float64)
+                        .view(np.int64).tolist())
+            tn_l.extend(pdf["turn_idx"].astype("int64").tolist())
+        state.update((ts_l, vb_l, tn_l))
+        # seal when the watermark passes end-of-day; if the group got
+        # (late) data with the watermark already beyond that, time out
+        # on the very next watermark advance instead
+        day_end = (day + 1) * DAY_MS
+        state.setTimeoutTimestamp(
+            max(day_end, state.getCurrentWatermarkMs() + 1))
+
+    return fn
+
+
+def stream_encode_blocks_eventtime(transcripts_stream: DataFrame,
+                                   delay: str = "10 minutes") -> DataFrame:
+    """transcripts stream → Gorilla day blocks sealed by WATERMARK.
+
+    Each (conv_id, day) block is emitted exactly once, when event time
+    has provably moved past that day (watermark > end-of-day): the
+    streaming twin of the batch (conv, day) blocking, with late-data
+    tolerance ``delay``.  Bounded replays need one far-future sentinel
+    row to advance the final watermark (same trick as
+    rollup_stream.stream_rollup_1m)."""
+    from pyspark.sql import functions as F
+    pts = (transcripts_stream
+           .withWatermark("ts", delay)
+           .select(
+               "conv_id",
+               F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / DAY_MS)
+                .cast("long").alias("day"),
+               F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+               F.length("text").cast("double").alias("v"),
+               F.col("turn_idx").cast("long").alias("turn_idx"),
+               "ts"))
+    return pts.groupBy("conv_id", "day").applyInPandasWithState(
+        make_eventtime_state_fn(),
+        outputStructType=STREAM_BLOCKS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_encode_blocks(transcripts_stream: DataFrame,
                          points_per_block: int = 65_536,
                          timeout_ms: int = 60_000) -> DataFrame:
