@@ -21,24 +21,30 @@ def _tok(d: str) -> str:
     return P.tokens("text", d)
 
 
-def token_count_cols(d: str) -> list[tuple[str, str]]:
-    """Whitespace token count + BPE-ish regex token count."""
+def token_count_cols(d: str, toks: str | None = None) -> list[tuple[str, str]]:
+    """Whitespace token count + BPE-ish regex token count.
+
+    ``toks`` lets a caller substitute a pre-materialized token-array
+    column for the inline split — Spark's CollapseProject keeps a
+    non-cheap, multiply-referenced producer in its own projection, so
+    the text is tokenized once per row instead of once per expression
+    (q_textstats_all relies on this)."""
     return [
         ("doc_id", "doc_id"),
-        ("ws_tokens", f"CAST({P.array_size(_tok(d), d)} AS BIGINT)"),
+        ("ws_tokens", f"CAST({P.array_size(toks or _tok(d), d)} AS BIGINT)"),
         ("bpe_tokens",
          f"CAST({P.count_regex('text', P.BPE_SPARK, P.BPE_DUCK, d)} AS BIGINT)"),
     ]
 
 
-def fingerprint_cols(d: str) -> list[tuple[str, str]]:
+def fingerprint_cols(d: str, toks: str | None = None) -> list[tuple[str, str]]:
     """Rolling-hash document fingerprint + min-shingle-hash (winnow-min).
 
     fp_full: polynomial rolling hash of the whole text.
     fp_min:  min over word-3-gram shingle hashes (a 1-seed minhash) —
              robust to local edits, the primitive behind near-dup LSH.
     """
-    sh = P.shingles3(_tok(d), d)
+    sh = P.shingles3(toks or _tok(d), d)
     if d == P.SPARK:
         minsh = (f"aggregate(transform({sh}, s -> {P.str_hash('s', d)}), "
                  f"cast({P.HASH_P} as bigint), (m, h) -> least(m, h))")
@@ -53,10 +59,10 @@ def fingerprint_cols(d: str) -> list[tuple[str, str]]:
     ]
 
 
-def quality_cols(d: str) -> list[tuple[str, str]]:
+def quality_cols(d: str, toks: str | None = None) -> list[tuple[str, str]]:
     """Quality heuristics: length, punctuation ratio, stopword ratio,
     mean token length, and a blended 0..1 score (6-dp rounded)."""
-    toks = _tok(d)
+    toks = toks or _tok(d)
     n_tok = P.array_size(toks, d)
     n_chr = "length(text)"
     punct = P.count_regex("text", r"[^A-Za-z0-9\\s]", r"[^A-Za-z0-9\s]", d)
@@ -80,13 +86,13 @@ def quality_cols(d: str) -> list[tuple[str, str]]:
     ]
 
 
-def lang_id_cols(d: str) -> list[tuple[str, str]]:
+def lang_id_cols(d: str, toks: str | None = None) -> list[tuple[str, str]]:
     """Stopword-vote language-ID with a CJK-codepoint fast path.
 
     Deterministic tie-break: language order en→de→fr→es (strict '>'
     comparisons), 'und' (undetermined) when no evidence.
     """
-    toks = _tok(d)
+    toks = toks or _tok(d)
     votes = {lang: P.stopword_count(toks, lang, d) for lang in P.STOPWORDS}
     cjk = P.cjk_count("text", d)
     best = (
