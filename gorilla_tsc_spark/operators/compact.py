@@ -1,0 +1,167 @@
+"""Block compaction: many small blocks → few span-auto blocks.
+
+Why this operator exists at 100 TB: both the streaming encoder (one
+block per (conv, day) seal) and day-aligned batch encode of sparse
+conversations produce LOTS of small blocks, and every block pays the
+~190-bit header/terminator plus a parquet row of metadata.  Compaction
+is the background maintenance job every block store runs (the same role
+as Iceberg rewrite_data_files or a TSDB's chunk merge): decode each
+(conv_id, channel)'s blocks, merge the points, and re-encode under the
+span='auto' profile — splitting only where a timestamp step would
+overflow the 32-bit delta-of-delta bucket (>= GAP_SPLIT_MS, the same
+rule as the batch auto profile; dod buckets per
+ValueCompressor.java/README format, see operators/encode.py).
+
+Plan shape: ONE shuffle keyed (conv_id, channel) + partition-local
+sort, then a partition-batched mapInPandas kernel that decodes every
+payload in one native call and re-encodes every output block in one
+native call.  Compacted blocks carry the same per-UTC-day sub-aggregate
+arrays as batch span-auto blocks, so the day tier still rolls up from
+block METADATA with zero decode after compaction.
+
+Identity contract (pytest-gated): decode(compact(B)) == decode(B) as a
+point set, and the day tier from compacted metadata equals the day tier
+from the original blocks.
+"""
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..codec.batch import encode_partition
+from .encode import BLOCKS_SCHEMA, DAY_MS, GAP_SPLIT_MS, _day_cols, _day_runs
+
+
+def _compact_iter(pdf_iter):
+    """mapInPandas kernel.  Arrow may split one partition into many
+    batches; a (conv_id, channel) series straddling a batch boundary
+    would otherwise emit two compacted blocks with the SAME identity
+    (conv, channel, block_start, seq=0) — so each batch holds back its
+    final series and prepends it to the next batch (flushed at end)."""
+    carry = None
+    for pdf in pdf_iter:
+        if carry is not None:
+            pdf = pd.concat((carry, pdf), ignore_index=True)
+            carry = None
+        if len(pdf) == 0:
+            continue
+        conv = pdf["conv_id"].to_numpy()
+        chan = pdf["channel"].to_numpy()
+        last = (conv == conv[-1]) & (chan == chan[-1])
+        # rows of the final series = the contiguous True tail of `last`
+        tail0 = len(pdf) - int(last[::-1].argmin()) if not last.all() else 0
+        carry = pdf.iloc[tail0:].reset_index(drop=True)
+        head = pdf.iloc[:tail0]
+        if len(head):
+            yield from _compact_pdf(head)
+    if carry is not None and len(carry):
+        yield from _compact_pdf(carry)
+
+
+def _compact_pdf(pdf):
+    from ..codec import native
+    from ..codec.fastdecode import decode_payload
+
+    cols = [f.name for f in BLOCKS_SCHEMA.fields]
+    payloads = [bytes(p) for p in pdf["payload"]]
+    expected = pdf["n_points"].to_numpy(np.int64)
+    res = native.decode_many(payloads, expected)
+    if res is not None:
+        ts, bits, _ = res
+    else:
+        ts_l: list[int] = []
+        v_l: list[int] = []
+        for p in payloads:
+            t, v = decode_payload(p)
+            ts_l.extend(t)
+            v_l.extend(v)
+        ts = np.array(ts_l, dtype=np.int64)
+        bits = np.array(v_l, dtype=np.uint64)
+
+    # runs of (conv_id, channel) over the decoded point stream —
+    # the partition is sorted by (conv_id, channel, first_ts, seq)
+    # so each series is one contiguous run of blocks
+    conv_b = pdf["conv_id"].to_numpy()
+    chan_b = pdf["channel"].to_numpy()
+    kind_b = pdf["kind"].to_numpy()
+    blk_of_pt = np.repeat(np.arange(len(pdf)), expected)
+    series_change = np.zeros(len(pdf), dtype=bool)
+    series_change[0] = True
+    series_change[1:] = (conv_b[1:] != conv_b[:-1]) | (chan_b[1:] != chan_b[:-1])
+    series_id_b = np.cumsum(series_change) - 1
+    series_id = series_id_b[blk_of_pt]
+
+    # canonical in-series order: blocks arrive first_ts-sorted, but
+    # seq sub-blocks of one day may interleave in time — a stable
+    # per-series ts sort restores the canonical stream
+    order = np.lexsort((ts, series_id))
+    ts = ts[order]
+    bits = bits[order]
+    series_id = series_id[order]
+
+    n = len(ts)
+    is_start = np.zeros(n, dtype=bool)
+    is_start[0] = True
+    is_start[1:] = series_id[1:] != series_id[:-1]
+    gap = np.zeros(n, dtype=bool)
+    gap[1:] = (ts[1:] - ts[:-1]) >= GAP_SPLIT_MS
+    brk = is_start | gap
+    starts = np.flatnonzero(brk).astype(np.int64)
+    counts = np.diff(np.concatenate((starts, [n]))).astype(np.int64)
+    ends = starts + counts - 1
+
+    first_block_of_series = np.flatnonzero(series_change)
+    blk_series = series_id[starts]
+    conv_arr = conv_b[first_block_of_series[blk_series]]
+    chan_arr = chan_b[first_block_of_series[blk_series]]
+    kind_arr = kind_b[first_block_of_series[blk_series]]
+    g_bts = (ts[starts] // DAY_MS) * DAY_MS
+
+    new_payloads, nbits = encode_partition(starts, counts, g_bts, ts, bits, None)
+
+    is_double = kind_arr == "double"
+    vals = np.where(np.repeat(is_double, counts),
+                    bits.view(np.float64),
+                    bits.view(np.int64).astype(np.float64))
+    sub_s, sub_c, split, bkt = _day_runs(ts, starts, counts)
+    yield pd.DataFrame({
+        "conv_id": conv_arr,
+        "channel": chan_arr,
+        "kind": kind_arr,
+        "block_start": g_bts,
+        "seq": np.zeros(len(starts), dtype=np.int32),
+        "n_points": counts.astype(np.int32),
+        "n_bits": nbits,
+        "payload": new_payloads,
+        "first_ts": ts[starts],
+        "last_ts": ts[ends],
+        "agg_cnt": counts,
+        "agg_min": np.minimum.reduceat(vals, starts),
+        "agg_max": np.maximum.reduceat(vals, starts),
+        "agg_sum": np.add.reduceat(vals, starts),
+        **_day_cols(vals, sub_s, sub_c, split, bkt),
+        "crc": [zlib.crc32(p) for p in new_payloads],
+    }, columns=cols)
+
+
+def compact_blocks(blocks: DataFrame,
+                   shuffle_partitions: int | None = None) -> DataFrame:
+    """gorilla_blocks (any mix of day/auto/streaming blocks, default
+    codec) → compacted span-auto blocks, one shuffle keyed
+    (conv_id, channel).
+
+    At warehouse scale this runs as a maintenance job over one
+    partition of the block store at a time (e.g. per conv_id bucket);
+    block metadata (first_ts/n_points) is all the planner needs — the
+    payload bytes move exactly once.
+    """
+    n = shuffle_partitions or int(
+        blocks.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    arranged = (blocks
+                .select(*[f.name for f in BLOCKS_SCHEMA.fields])
+                .repartition(n, "conv_id", "channel")
+                .sortWithinPartitions("conv_id", "channel", "first_ts", "seq"))
+    return arranged.mapInPandas(_compact_iter, schema=BLOCKS_SCHEMA)
