@@ -6,12 +6,13 @@ vectorized Arrow kernel, decode, and build the 1-minute continuous
 aggregate tier.
 
 ``queries()`` / ``oracle_sql()`` — the operator registry lives in
-``gorilla_tsc_spark.queries``; every registered query except
-``block_stats`` (codec-dependent compression accounting) carries a
-DuckDB oracle with matching column names.  Codec roundtrips are
-oracled via row_number identities, the lossy trio via per-series
-coverage + ε-bound audits, multimodal via hex-nibble byte
-reconstruction, streaming via batch replay against the 1m-tier oracle.
+``gorilla_tsc_spark.queries``: exactly 50 queries, every one carrying
+a DuckDB oracle with matching column names.  Codec roundtrips are
+oracled via point identities, the lossy trio via per-series coverage +
+ε-bound audits, block accounting via SQL-derived block/point counts,
+multimodal via hex-nibble byte reconstruction, streaming (rollup AND
+the event-time block encoder) via batch replay against batch oracles,
+checkpoint resume via the zero-pending-groups contract.
 """
 
 from __future__ import annotations
