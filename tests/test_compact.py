@@ -41,6 +41,44 @@ def test_compact_decode_identity_and_reduction(spark):
     assert c < b
 
 
+def test_compact_splits_at_delta_overflow_gaps(spark):
+    """A series with >GAP_SPLIT_MS quiet stretches must split into one
+    block per active stretch (the 32-bit delta-of-delta bound), and
+    still decode exactly — the sandbox fixtures never contain 23-day
+    gaps, so this path needs synthetic input."""
+    import numpy as np
+
+    from gorilla_tsc_spark.operators.encode import (
+        GAP_SPLIT_MS,
+        encode_points,
+    )
+    from gorilla_tsc_spark.functions.channels import Channel
+
+    t0 = 1_700_000_000_000
+    rows = []
+    # three activity bursts separated by ~25-day gaps; day-aligned
+    # encode first produces one block per (day, burst)
+    for burst in range(3):
+        base = t0 + burst * (GAP_SPLIT_MS + 7 * 86_400_000)
+        for i in range(50):
+            rows.append(("convA", base + i * 60_000, 0,
+                         float(100 * burst + i)))
+    pts = spark.createDataFrame(
+        rows, "conv_id string, ts_ms long, turn_idx long, ch_len double"
+    ).selectExpr("conv_id", "ts_ms",
+                 "CAST(floor(ts_ms / 86400000) AS LONG) AS day",
+                 "CAST(0 AS INT) AS seq", "turn_idx", "ch_len")
+    blocks = encode_points(pts, [Channel("len", "double")])
+    compacted = compact_blocks(blocks)
+    got = compacted.orderBy("first_ts").collect()
+    assert len(got) == 3, [r.n_points for r in got]
+    assert all(r.n_points == 50 for r in got)
+    assert _point_set(compacted) == _point_set(blocks)
+    # every step INSIDE a compacted block fits the dod bound
+    for r in got:
+        assert r.last_ts - r.first_ts < GAP_SPLIT_MS
+
+
 def test_compact_day_tier_matches(spark):
     # tier equality over the AGG channels only (as the pipeline serves
     # them): text_hash is agg=False exactly because float64 sums of
