@@ -498,12 +498,41 @@ def _decode_iter(pdf_iter, predictor: str | None):
         })
 
 
-def decode_blocks(blocks: DataFrame, predictor: str | None = None) -> DataFrame:
-    """gorilla_blocks → exploded points (narrow op: no shuffle)."""
+def decode_blocks(blocks: DataFrame, predictor: str | None = None,
+                  verify_crc: bool = False) -> DataFrame:
+    """gorilla_blocks → exploded points (narrow op: no shuffle).
+
+    ``verify_crc=True`` checks each payload's stored crc32 BEFORE
+    decoding (JVM-side filter-free projection; the check itself is a
+    cheap zlib pass inside the kernel) and fails the task with the
+    offending block identity — the read-path integrity gate a block
+    store run over object storage wants.  Off by default: parquet
+    already checksums pages, so the double-check is for long-lived
+    archival tiers and restore jobs.
+    """
     cols = ["conv_id", "channel", "kind", "n_points", "payload"]
-    return blocks.select(*cols).mapInPandas(
-        lambda it: _decode_iter(it, predictor), schema=POINTS_SCHEMA,
-    )
+    if not verify_crc:
+        return blocks.select(*cols).mapInPandas(
+            lambda it: _decode_iter(it, predictor), schema=POINTS_SCHEMA,
+        )
+
+    def checked(it):
+        import zlib as _z
+        for pdf in it:
+            crcs = pdf["crc"].to_numpy(np.int64)
+            for i, p in enumerate(pdf["payload"]):
+                got = _z.crc32(bytes(p))
+                if got != crcs[i]:
+                    raise ValueError(
+                        "crc mismatch on block "
+                        f"(conv_id={pdf['conv_id'].iloc[i]!r}, "
+                        f"channel={pdf['channel'].iloc[i]!r}): "
+                        f"stored {crcs[i]}, computed {got}")
+            yield pdf[cols]
+
+    return (blocks.select(*cols, "crc")
+            .mapInPandas(lambda it: _decode_iter(checked(it), predictor),
+                         schema=POINTS_SCHEMA))
 
 
 def block_value_column() -> F.Column:

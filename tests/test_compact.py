@@ -93,3 +93,25 @@ def test_compact_day_tier_matches(spark):
                 .where(F.col("channel").isin(keep)).collect()}
 
     assert tier(compacted) == tier(blocks)
+
+
+def test_decode_crc_verification(spark):
+    """verify_crc=True decodes clean blocks identically and fails
+    loudly on a corrupted payload."""
+    import pyspark
+    from pyspark.sql import functions as F
+
+    blocks = _small_blocks(spark).limit(50).cache()
+    ok = decode_blocks(blocks, verify_crc=True).count()
+    assert ok == decode_blocks(blocks).count()
+
+    # corrupt every payload by appending a stray byte — the stored crc
+    # can no longer match (appending never collides, unlike overwriting
+    # the first byte with a value it might already hold)
+    corrupted = blocks.withColumn(
+        "payload", F.concat(F.col("payload"), F.lit(b"\x5a")))
+    try:
+        decode_blocks(corrupted, verify_crc=True).count()
+        raise AssertionError("corrupted payload decoded without error")
+    except pyspark.errors.exceptions.captured.PythonException as e:
+        assert "crc mismatch" in str(e)
