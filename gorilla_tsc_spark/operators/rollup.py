@@ -106,3 +106,47 @@ def rollup_from_block_meta(blocks: DataFrame) -> DataFrame:
             F.sum("agg_sum").alias("vsum"),
         )
     )
+
+
+def merge_tiers(existing: DataFrame, delta: DataFrame,
+                keys=("conv_id", "channel")) -> DataFrame:
+    """Combine two tier fragments exactly (associative summaries).
+
+    Buckets present in only one side pass through; buckets present in
+    both recombine (cnt/vsum add, vmin/vmax extremize). The shuffle is
+    keyed (keys, bucket) on BOTH sides — when the existing tier is a
+    table bucketed on the same key, only the (tiny) delta moves.
+    """
+    keys = list(keys) + ["bucket"]
+    return (
+        existing.select(*keys, "cnt", "vmin", "vmax", "vsum")
+        .unionByName(delta.select(*keys, "cnt", "vmin", "vmax", "vsum"))
+        .groupBy(*keys)
+        .agg(F.sum("cnt").alias("cnt"),
+             F.min("vmin").alias("vmin"),
+             F.max("vmax").alias("vmax"),
+             F.sum("vsum").alias("vsum"))
+    )
+
+
+def refresh_tier(tier: DataFrame, late_points: DataFrame, bucket_ms: int,
+                 value_col=None, keys=("conv_id", "channel")) -> DataFrame:
+    """Continuous-aggregate refresh for LATE data (TimescaleDB's
+    incremental materialized-view maintenance, re-expressed): roll up
+    ONLY the late points and merge the partial rows into the existing
+    tier — never recompute the tier from raw history.
+
+    Exact for (cnt, min, max, sum): these recombine associatively no
+    matter how points were split between the original run and the late
+    batch (the same property the 1m→1h→1d cascade relies on, so a
+    refreshed 1m tier cascades to refreshed 1h/1d tiers for the
+    affected buckets only).
+
+    At 10^12 turns: the delta rollup shuffles one row per
+    (series, touched bucket); with the tier table bucketed on the
+    series key the merge co-locates, so refresh cost is proportional
+    to the LATE data, not the tier.
+    """
+    value_col = value_col if value_col is not None else F.col("v")
+    delta = rollup_points(late_points, bucket_ms, value_col, keys=keys)
+    return merge_tiers(tier, delta, keys=keys)
