@@ -34,6 +34,13 @@ def get_spark(
         # Arrow transport for every applyInPandas/mapInPandas kernel
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # the row-count cap above is right for narrow POINT rows, but a
+        # PACKED block row (pack_blocks) carries up to 65536-element
+        # arrays — the byte cap is what actually bounds kernel batch
+        # memory there (65536 such rows would be tens of GB).  64 MB is
+        # Spark 4.1's default; pinned here because the encode kernels
+        # RELY on it.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "67108864")
         # parquet scans: allow large splits to amortize task startup
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
