@@ -57,3 +57,70 @@ def test_batch_equals_scalar(groups):
         enc.close()
         assert payloads[i] == enc.to_bytes()
         assert nbits[i] == enc.n_bits
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(  # per series: fragments of (gap_before_ms, strides)
+    st.lists(st.tuples(
+        st.integers(min_value=1, max_value=4_000_000_000),
+        st.lists(st.integers(min_value=1, max_value=1_500_000_000),
+                 min_size=1, max_size=40)),
+        min_size=1, max_size=6),
+    min_size=1, max_size=4))
+def test_compact_kernel_identity(series_frags):
+    """operators/compact._compact_pdf: arbitrary fragmentation of
+    series with arbitrary inter-fragment gaps (which may exceed
+    GAP_SPLIT_MS) compacts to the exact same point set, with no step
+    >= GAP_SPLIT_MS inside any output block.  Within-fragment strides
+    stay < GAP_SPLIT_MS because source blocks must themselves satisfy
+    the 32-bit delta-of-delta bound."""
+    import pandas as pd
+    import zlib
+
+    from gorilla_tsc_spark.operators.compact import _compact_pdf
+    from gorilla_tsc_spark.operators.encode import GAP_SPLIT_MS
+
+    rows = []
+    truth = {}
+    for s, frags in enumerate(series_frags):
+        conv = f"c{s}"
+        t = BASE + 1
+        pts = []
+        for gap, strides in frags:
+            t += gap
+            ts = t + np.cumsum(strides).astype(np.int64)
+            t = int(ts[-1])
+            vb = (np.arange(len(ts), dtype=np.uint64) * 7919 + s)
+            pts.append((ts, vb))
+        truth[conv] = [(int(a), int(b)) for ts, vb in pts
+                       for a, b in zip(ts, vb)]
+        for ts, vb in pts:
+            bts = (int(ts[0]) // DAY_MS) * DAY_MS
+            enc = encode_block(bts, ts, vb)
+            enc.close()
+            p = enc.to_bytes()
+            rows.append({
+                "conv_id": conv, "channel": "len", "kind": "long",
+                "block_start": bts, "seq": 0, "n_points": len(ts),
+                "n_bits": enc.n_bits, "payload": p,
+                "first_ts": int(ts[0]), "last_ts": int(ts[-1]),
+                "agg_cnt": len(ts), "agg_min": float(vb.min()),
+                "agg_max": float(vb.max()), "agg_sum": float(vb.sum()),
+                "day_buckets": None, "day_cnt": None, "day_min": None,
+                "day_max": None, "day_sum": None,
+                "crc": zlib.crc32(p),
+            })
+    pdf = pd.DataFrame(rows).sort_values(
+        ["conv_id", "channel", "first_ts", "seq"]).reset_index(drop=True)
+    out = pd.concat(list(_compact_pdf(pdf)), ignore_index=True)
+    got = {}
+    for r in out.itertuples(index=False):
+        t2, v2 = decode_payload(bytes(r.payload))
+        assert len(t2) == r.n_points
+        got.setdefault(r.conv_id, []).extend(
+            (int(a), int(np.uint64(b))) for a, b in zip(t2, v2))
+        # no step inside a compacted block may reach the split bound
+        d = np.diff(np.array(t2, np.int64))
+        assert (d < GAP_SPLIT_MS).all()
+    for conv, pts in truth.items():
+        assert sorted(got[conv]) == sorted(pts), conv
