@@ -165,3 +165,34 @@ def compact_blocks(blocks: DataFrame,
                 .repartition(n, "conv_id", "channel")
                 .sortWithinPartitions("conv_id", "channel", "first_ts", "seq"))
     return arranged.mapInPandas(_compact_iter, schema=BLOCKS_SCHEMA)
+
+
+def promote_stream_blocks(sealed: DataFrame, kind: str = "double") -> DataFrame:
+    """Streaming-sealed block rows (STREAM_BLOCKS_SCHEMA) → the batch
+    BLOCKS_SCHEMA shape, so the compaction maintenance job can sweep
+    the streaming tier directly (the end-to-end lifecycle: watermark
+    seal → small (conv, day) blocks → compact to span-auto blocks).
+
+    Aggregate and day_* cells are left NULL — compaction recomputes
+    every output aggregate from the decoded points; n_bits is the byte
+    length upper bound (exact bit count is not carried by the stream
+    schema and is not read by the compactor).
+    """
+    from pyspark.sql import functions as F
+
+    return sealed.select(
+        "conv_id", "channel", F.lit(kind).alias("kind"), "block_start",
+        F.lit(0).cast("int").alias("seq"), "n_points",
+        (F.length("payload").cast("long") * 8).alias("n_bits"),
+        "payload", "first_ts", "last_ts",
+        F.col("n_points").cast("long").alias("agg_cnt"),
+        F.lit(None).cast("double").alias("agg_min"),
+        F.lit(None).cast("double").alias("agg_max"),
+        F.lit(None).cast("double").alias("agg_sum"),
+        F.lit(None).cast("array<long>").alias("day_buckets"),
+        F.lit(None).cast("array<long>").alias("day_cnt"),
+        F.lit(None).cast("array<double>").alias("day_min"),
+        F.lit(None).cast("array<double>").alias("day_max"),
+        F.lit(None).cast("array<double>").alias("day_sum"),
+        "crc",
+    )

@@ -115,3 +115,18 @@ def test_decode_crc_verification(spark):
         raise AssertionError("corrupted payload decoded without error")
     except pyspark.errors.exceptions.captured.PythonException as e:
         assert "crc mismatch" in str(e)
+
+
+def test_promote_stream_blocks_then_compact(spark):
+    """STREAM_BLOCKS_SCHEMA-shaped rows promote to the batch shape and
+    compact to the same point set — the streaming-tier sweep path."""
+    from gorilla_tsc_spark.operators.compact import promote_stream_blocks
+
+    blocks = _small_blocks(spark).where(F.col("channel") == "len")
+    stream_shape = blocks.select(
+        "conv_id", "channel", "block_start", "n_points", "payload",
+        "first_ts", "last_ts", "crc")
+    promoted = promote_stream_blocks(stream_shape, kind="double")
+    compacted = compact_blocks(promoted)
+    assert _point_set(compacted) == _point_set(blocks)
+    assert compacted.count() < blocks.count()
