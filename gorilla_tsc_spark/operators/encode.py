@@ -251,20 +251,6 @@ def _make_batch_kernel(channels: list[Channel]):
     return kernel
 
 
-def arrange_for_encode(pts: DataFrame, shuffle_partitions: int | None = None) -> DataFrame:
-    """One shuffle keyed by the FULL block key (conv_id, day, seq) —
-    hot conversations spread across partitions by day/seq (deterministic
-    salting that preserves block decodability) — then a partition-local
-    sort so block groups are contiguous runs for the batch kernel."""
-    n = shuffle_partitions or int(
-        pts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # turn_idx exists only to define in-group order; drop it after the
-    # sort so the Arrow transfer to the kernel carries one fewer column
-    return (pts.repartition(n, "conv_id", "day", "seq")
-            .sortWithinPartitions("conv_id", "day", "seq", "turn_idx", "ts_ms")
-            .drop("turn_idx"))
-
-
 def encode_blocks(transcripts: DataFrame, channels: list[Channel] | None = None,
                   predictor: str | None = None, points_per_block: int = 65_536,
                   shuffle_partitions: int | None = None,
