@@ -35,7 +35,7 @@ from ..codec.batch import encode_partition
 from .encode import BLOCKS_SCHEMA, DAY_MS, GAP_SPLIT_MS, _day_cols, _day_runs
 
 
-def _compact_iter(pdf_iter):
+def _compact_iter(pdf_iter, drop_range=None):
     """mapInPandas kernel.  Arrow may split one partition into many
     batches; a (conv_id, channel) series straddling a batch boundary
     would otherwise emit two compacted blocks with the SAME identity
@@ -56,12 +56,12 @@ def _compact_iter(pdf_iter):
         carry = pdf.iloc[tail0:].reset_index(drop=True)
         head = pdf.iloc[:tail0]
         if len(head):
-            yield from _compact_pdf(head)
+            yield from _compact_pdf(head, drop_range)
     if carry is not None and len(carry):
-        yield from _compact_pdf(carry)
+        yield from _compact_pdf(carry, drop_range)
 
 
-def _compact_pdf(pdf):
+def _compact_pdf(pdf, drop_range=None):
     from ..codec import native
     from ..codec.fastdecode import decode_payload
 
@@ -102,7 +102,16 @@ def _compact_pdf(pdf):
     bits = bits[order]
     series_id = series_id[order]
 
+    if drop_range is not None:
+        # targeted purge: drop points with t0 <= ts < t1 before the
+        # re-split, so a fully-purged series emits no block at all
+        t0, t1 = drop_range
+        keep = (ts < t0) | (ts >= t1)
+        ts, bits, series_id = ts[keep], bits[keep], series_id[keep]
+
     n = len(ts)
+    if n == 0:
+        return
     is_start = np.zeros(n, dtype=bool)
     is_start[0] = True
     is_start[1:] = series_id[1:] != series_id[:-1]
@@ -148,7 +157,8 @@ def _compact_pdf(pdf):
 
 
 def compact_blocks(blocks: DataFrame,
-                   shuffle_partitions: int | None = None) -> DataFrame:
+                   shuffle_partitions: int | None = None,
+                   drop_range: tuple[int, int] | None = None) -> DataFrame:
     """gorilla_blocks (any mix of day/auto/streaming blocks, default
     codec) → compacted span-auto blocks, one shuffle keyed
     (conv_id, channel).
@@ -157,6 +167,11 @@ def compact_blocks(blocks: DataFrame,
     partition of the block store at a time (e.g. per conv_id bucket);
     block metadata (first_ts/n_points) is all the planner needs — the
     payload bytes move exactly once.
+
+    ``drop_range=(t0_ms, t1_ms)`` additionally drops every decoded
+    point with t0 <= ts < t1 before re-encoding — the copy-on-write
+    rewrite step of a targeted purge (see ``operators/purge.py``).  A
+    series whose points are all inside the range emits no block.
     """
     n = shuffle_partitions or int(
         blocks.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -164,7 +179,8 @@ def compact_blocks(blocks: DataFrame,
                 .select(*[f.name for f in BLOCKS_SCHEMA.fields])
                 .repartition(n, "conv_id", "channel")
                 .sortWithinPartitions("conv_id", "channel", "first_ts", "seq"))
-    return arranged.mapInPandas(_compact_iter, schema=BLOCKS_SCHEMA)
+    return arranged.mapInPandas(
+        lambda it: _compact_iter(it, drop_range), schema=BLOCKS_SCHEMA)
 
 
 def promote_stream_blocks(sealed: DataFrame, kind: str = "double") -> DataFrame:

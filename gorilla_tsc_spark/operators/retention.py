@@ -39,6 +39,35 @@ def apply_retention(tier: DataFrame, now_ms: int, keep_days: int,
     return tier.where(F.col(ts_col) >= F.lit(cutoff_ms(now_ms, keep_days)))
 
 
+def read_range(blocks: DataFrame, t0_ms: int, t1_ms: int,
+               conv_ids: DataFrame | None = None,
+               predictor: str | None = None) -> DataFrame:
+    """Decode only the blocks that can contain points in [t0, t1).
+
+    The serve path for "give me raw points for this window": block
+    metadata (first_ts/last_ts) prunes non-overlapping blocks BEFORE
+    the decode kernel ever sees a payload.  Both predicates are plain
+    column comparisons, so when the block store is parquet/Iceberg
+    they reach the scan as pushed filters and prune row groups via
+    min/max statistics — a time-range read of a 10-year store touches
+    only the files of the requested window.  An optional conv_id set
+    narrows further via broadcast semi-join (bucket-pruned on a
+    conv_id-bucketed layout).  Decoded points are then trimmed to the
+    exact range (blocks straddling a boundary contribute partial
+    ranges).
+    """
+    from .encode import decode_blocks
+
+    pruned = blocks.where((F.col("last_ts") >= F.lit(t0_ms))
+                          & (F.col("first_ts") < F.lit(t1_ms)))
+    if conv_ids is not None:
+        pruned = pruned.join(F.broadcast(conv_ids.select("conv_id")),
+                             "conv_id", "left_semi")
+    pts = decode_blocks(pruned, predictor)
+    return pts.where((F.col("ts_ms") >= F.lit(t0_ms))
+                     & (F.col("ts_ms") < F.lit(t1_ms)))
+
+
 def serve_union(t1m: DataFrame, t1h: DataFrame, t1d: DataFrame,
                 now_ms: int, policy: RetentionPolicy = RetentionPolicy()) -> DataFrame:
     """Best-available-resolution view across the retention cascade."""

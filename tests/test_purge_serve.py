@@ -1,0 +1,181 @@
+"""Targeted purge (operators/purge.py), pruned range reads
+(retention.read_range), and the HLL distinct sketch tier
+(operators/sketches.py)."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gorilla_tsc_spark.operators.encode import decode_blocks, encode_blocks
+from gorilla_tsc_spark.operators.purge import (
+    purge_conversations,
+    purge_range,
+)
+from gorilla_tsc_spark.operators.retention import read_range
+from gorilla_tsc_spark.operators.rollup import (
+    DAY_MS,
+    rollup_from_day_subaggs,
+    rollup_points,
+)
+from gorilla_tsc_spark.operators.sketches import (
+    distinct_sketch_tier,
+    estimate,
+    merge_sketch_tier,
+)
+
+
+def _blocks(spark):
+    from gorilla_tsc_spark.queries import _transcripts
+    return encode_blocks(_transcripts(spark, "/root/testdata/sf0.001"))
+
+
+def _point_set(blocks):
+    return {tuple(r) for r in decode_blocks(blocks)
+            .select("conv_id", "channel", "ts_ms", "v_double", "v_long")
+            .collect()}
+
+
+def _some_convs(blocks, n=3):
+    return [r[0] for r in
+            blocks.select("conv_id").distinct().orderBy("conv_id")
+            .limit(n).collect()]
+
+
+def test_purge_conversations_blocks_and_tier(spark):
+    blocks = _blocks(spark).cache()
+    victims = _some_convs(blocks)
+    survived = purge_conversations(blocks, victims).cache()
+    # metadata-only delete: surviving blocks are byte-identical rows
+    assert survived.where(F.col("conv_id").isin(victims)).count() == 0
+    assert (survived.count()
+            == blocks.where(~F.col("conv_id").isin(victims)).count())
+    before = blocks.agg(F.sum(F.crc32(F.col("payload")))).first()[0]
+    after = (survived.agg(F.sum(F.crc32(F.col("payload")))).first()[0]
+             + blocks.where(F.col("conv_id").isin(victims))
+             .agg(F.sum(F.crc32(F.col("payload")))).first()[0])
+    assert before == after
+    # the same operator purges a rollup tier (any conv_id-keyed table)
+    tier = rollup_from_day_subaggs(blocks)
+    tier_purged = purge_conversations(tier, victims)
+    assert tier_purged.where(F.col("conv_id").isin(victims)).count() == 0
+    blocks.unpersist()
+    survived.unpersist()
+
+
+def test_purge_range_copy_on_write(spark):
+    blocks = _blocks(spark).cache()
+    victims = _some_convs(blocks)
+    lo, hi = (blocks.agg(F.min("first_ts"), F.max("last_ts")).first())
+    t0 = (lo // DAY_MS + 1) * DAY_MS       # purge the second day onward
+    t1 = t0 + 2 * DAY_MS
+    assert t1 < hi, "fixture spans too few days for a mid-range purge"
+
+    out = purge_range(blocks, victims, t0, t1).cache()
+
+    # expected point set: everything except victims' points in [t0, t1)
+    pts = decode_blocks(blocks).cache()
+    expect = {tuple(r) for r in pts.where(
+        ~(F.col("conv_id").isin(victims)
+          & (F.col("ts_ms") >= t0) & (F.col("ts_ms") < t1)))
+        .select("conv_id", "channel", "ts_ms", "v_double", "v_long")
+        .collect()}
+    assert _point_set(out) == expect
+
+    # non-matched conversations pass through byte-identical
+    untouched_crc = (blocks.where(~F.col("conv_id").isin(victims))
+                     .agg(F.sum(F.crc32("payload"))).first()[0])
+    out_untouched_crc = (out.where(~F.col("conv_id").isin(victims))
+                         .agg(F.sum(F.crc32("payload"))).first()[0])
+    assert untouched_crc == out_untouched_crc
+
+    # rewritten blocks still carry metadata the day tier can use with
+    # zero decode: tier-from-metadata == tier recomputed from points
+    # (integer-valued channels only — float sums of the 2^63-magnitude
+    # text_hash channel are order-dependent, same carve-out as
+    # tests/test_compact.py)
+    from gorilla_tsc_spark.functions.channels import agg_channel_names
+    from gorilla_tsc_spark.operators.encode import block_value_column
+    keep = agg_channel_names()
+    got_tier = {tuple(r) for r in rollup_from_day_subaggs(out)
+                .where(F.col("channel").isin(keep))
+                .select("conv_id", "channel", "bucket", "cnt",
+                        "vmin", "vmax", "vsum").collect()}
+    want_tier = {tuple(r) for r in rollup_points(
+        decode_blocks(out).withColumn("v", block_value_column()),
+        DAY_MS, "v", keys=("conv_id", "channel"))
+        .where(F.col("channel").isin(keep))
+        .select("conv_id", "channel", "bucket", "cnt",
+                "vmin", "vmax", "vsum").collect()}
+    assert got_tier == want_tier
+    blocks.unpersist()
+    pts.unpersist()
+    out.unpersist()
+
+
+def test_purge_range_full_conversation_disappears(spark):
+    blocks = _blocks(spark).cache()
+    victims = _some_convs(blocks, n=1)
+    lo, hi = (blocks.where(F.col("conv_id") == victims[0])
+              .agg(F.min("first_ts"), F.max("last_ts")).first())
+    out = purge_range(blocks, victims, lo, hi + 1)
+    assert out.where(F.col("conv_id") == victims[0]).count() == 0
+    assert (out.count()
+            == blocks.where(F.col("conv_id") != victims[0]).count())
+    blocks.unpersist()
+
+
+def test_read_range_prunes_blocks_and_trims_points(spark):
+    blocks = _blocks(spark).cache()
+    lo, hi = blocks.agg(F.min("first_ts"), F.max("last_ts")).first()
+    t0 = (lo // DAY_MS + 1) * DAY_MS
+    t1 = t0 + DAY_MS
+    got = {tuple(r) for r in read_range(blocks, t0, t1)
+           .select("conv_id", "channel", "ts_ms", "v_double", "v_long")
+           .collect()}
+    want = {tuple(r) for r in decode_blocks(blocks)
+            .where((F.col("ts_ms") >= t0) & (F.col("ts_ms") < t1))
+            .select("conv_id", "channel", "ts_ms", "v_double", "v_long")
+            .collect()}
+    assert got == want and got
+    # the metadata prune must actually skip blocks (day-aligned blocks
+    # outside the window never reach the decode kernel)
+    pruned = blocks.where((F.col("last_ts") >= t0)
+                          & (F.col("first_ts") < t1)).count()
+    assert pruned < blocks.count() / 2, (pruned, blocks.count())
+    # conv_id narrowing composes
+    one = _some_convs(blocks, n=1)
+    ids = spark.createDataFrame([(one[0],)], ["conv_id"])
+    got_one = {tuple(r) for r in read_range(blocks, t0, t1, conv_ids=ids)
+               .select("conv_id", "channel", "ts_ms", "v_double", "v_long")
+               .collect()}
+    assert got_one == {r for r in want if r[0] == one[0]}
+    blocks.unpersist()
+
+
+def test_distinct_sketch_tier_bounds_and_merge(spark):
+    from gorilla_tsc_spark.queries import _transcripts
+    t = (_transcripts(spark, "/root/testdata/sf0.001")
+         .withColumn("ts_ms", F.unix_millis("ts")).cache())
+
+    tier_1d = distinct_sketch_tier(t, DAY_MS).cache()
+    exact = {r["bucket"]: r["n"] for r in t.groupBy(
+        (F.floor(F.col("ts_ms") / DAY_MS) * DAY_MS).alias("bucket"))
+        .agg(F.count_distinct("conv_id").alias("n")).collect()}
+    got = {r["bucket"]: r["approx_distinct"]
+           for r in estimate(tier_1d).collect()}
+    assert got.keys() == exact.keys()
+    for b, n in exact.items():
+        assert abs(got[b] - n) <= max(0.05 * n, 2.0), (b, n, got[b])
+
+    # merge cascade: 1d sketches → 30d buckets without touching raw keys
+    tier_30d = merge_sketch_tier(tier_1d, DAY_MS, 30 * DAY_MS)
+    exact_30 = {r["bucket"]: r["n"] for r in t.groupBy(
+        (F.floor(F.col("ts_ms") / (30 * DAY_MS)) * 30 * DAY_MS)
+        .alias("bucket"))
+        .agg(F.count_distinct("conv_id").alias("n")).collect()}
+    got_30 = {r["bucket"]: r["approx_distinct"]
+              for r in estimate(tier_30d).collect()}
+    assert got_30.keys() == exact_30.keys()
+    for b, n in exact_30.items():
+        assert abs(got_30[b] - n) <= max(0.05 * n, 2.0), (b, n, got_30[b])
+    t.unpersist()
+    tier_1d.unpersist()
