@@ -114,6 +114,44 @@ def main() -> None:
     run("compact_blocks", compact_small)
     small.unpersist()
 
+    # serve + compliance paths over a materialized block store
+    from gorilla_tsc_spark.operators.purge import purge_range
+    from gorilla_tsc_spark.operators.retention import read_range
+    from gorilla_tsc_spark.operators.rollup import DAY_MS
+    from gorilla_tsc_spark.operators.sketches import (
+        distinct_sketch_tier,
+        merge_sketch_tier,
+    )
+
+    store = encode_blocks(Q._transcripts(spark, sf_dir)).persist()
+    store.count()
+    lo, _hi = store.agg(F.min("first_ts"), F.max("last_ts")).first()
+    t0 = (lo // DAY_MS + 1) * DAY_MS
+    t1 = t0 + DAY_MS
+
+    def read_range_day():
+        stats["range_points"] = read_range(store, t0, t1).count()
+
+    run("read_range_day", read_range_day)
+
+    victims = [r[0] for r in store.select("conv_id").distinct()
+               .orderBy("conv_id").limit(100).collect()]
+
+    def purge_range_bench():
+        stats["post_purge_blocks"] = purge_range(
+            store, victims, t0, t1).count()
+
+    run("purge_range", purge_range_bench)
+    store.unpersist()
+
+    def hll_tier():
+        t_ms = Q._transcripts(spark, sf_dir).withColumn(
+            "ts_ms", F.unix_millis("ts"))
+        stats["hll_30d_buckets"] = merge_sketch_tier(
+            distinct_sketch_tier(t_ms, DAY_MS), DAY_MS, 30 * DAY_MS).count()
+
+    run("hll_distinct_tier", hll_tier)
+
     bench_queries = [
         "rollup_1m", "rollup_cascade", "rollup_1d_from_blocks",
         "rollup_1d_from_auto_blocks", "rollup_from_decoded",
