@@ -59,26 +59,20 @@ def test_batch_equals_scalar(groups):
         assert nbits[i] == enc.n_bits
 
 
-@settings(max_examples=20, deadline=None)
-@given(st.lists(  # per series: fragments of (gap_before_ms, strides)
+_series_frags = st.lists(  # per series: fragments of (gap_before_ms, strides)
     st.lists(st.tuples(
         st.integers(min_value=1, max_value=4_000_000_000),
         st.lists(st.integers(min_value=1, max_value=1_500_000_000),
                  min_size=1, max_size=40)),
         min_size=1, max_size=6),
-    min_size=1, max_size=4))
-def test_compact_kernel_identity(series_frags):
-    """operators/compact._compact_pdf: arbitrary fragmentation of
-    series with arbitrary inter-fragment gaps (which may exceed
-    GAP_SPLIT_MS) compacts to the exact same point set, with no step
-    >= GAP_SPLIT_MS inside any output block.  Within-fragment strides
-    stay < GAP_SPLIT_MS because source blocks must themselves satisfy
-    the 32-bit delta-of-delta bound."""
+    min_size=1, max_size=4)
+
+
+def _series_blocks(series_frags):
+    """Encode each fragment as one block row; returns (pdf sorted the
+    way compact_blocks arranges partitions, truth point sets)."""
     import pandas as pd
     import zlib
-
-    from gorilla_tsc_spark.operators.compact import _compact_pdf
-    from gorilla_tsc_spark.operators.encode import GAP_SPLIT_MS
 
     rows = []
     truth = {}
@@ -112,6 +106,24 @@ def test_compact_kernel_identity(series_frags):
             })
     pdf = pd.DataFrame(rows).sort_values(
         ["conv_id", "channel", "first_ts", "seq"]).reset_index(drop=True)
+    return pdf, truth
+
+
+@settings(max_examples=20, deadline=None)
+@given(_series_frags)
+def test_compact_kernel_identity(series_frags):
+    """operators/compact._compact_pdf: arbitrary fragmentation of
+    series with arbitrary inter-fragment gaps (which may exceed
+    GAP_SPLIT_MS) compacts to the exact same point set, with no step
+    >= GAP_SPLIT_MS inside any output block.  Within-fragment strides
+    stay < GAP_SPLIT_MS because source blocks must themselves satisfy
+    the 32-bit delta-of-delta bound."""
+    import pandas as pd
+
+    from gorilla_tsc_spark.operators.compact import _compact_pdf
+    from gorilla_tsc_spark.operators.encode import GAP_SPLIT_MS
+
+    pdf, truth = _series_blocks(series_frags)
     out = pd.concat(list(_compact_pdf(pdf)), ignore_index=True)
     got = {}
     for r in out.itertuples(index=False):
@@ -124,3 +136,33 @@ def test_compact_kernel_identity(series_frags):
         assert (d < GAP_SPLIT_MS).all()
     for conv, pts in truth.items():
         assert sorted(got[conv]) == sorted(pts), conv
+
+
+@settings(max_examples=20, deadline=None)
+@given(_series_frags, st.floats(min_value=0.0, max_value=1.0),
+       st.floats(min_value=0.0, max_value=1.0))
+def test_compact_kernel_drop_range(series_frags, a, b):
+    """The drop_range path (targeted range purge): compacting with a
+    window removes exactly the points with t0 <= ts < t1 — including
+    windows that empty a whole series (it must emit nothing) and
+    windows outside the data (identity)."""
+    import pandas as pd
+
+    from gorilla_tsc_spark.operators.compact import _compact_pdf
+
+    pdf, truth = _series_blocks(series_frags)
+    all_ts = sorted(t for pts in truth.values() for t, _ in pts)
+    lo, hi = all_ts[0], all_ts[-1] + 1
+    t0 = lo + int(a * (hi - lo))
+    t1 = t0 + int(b * (hi - t0))
+    out_iter = list(_compact_pdf(pdf, (t0, t1)))
+    got = {}
+    for chunk in out_iter:
+        for r in chunk.itertuples(index=False):
+            t2, v2 = decode_payload(bytes(r.payload))
+            assert len(t2) == r.n_points
+            got.setdefault(r.conv_id, []).extend(
+                (int(x), int(np.uint64(y))) for x, y in zip(t2, v2))
+    for conv, pts in truth.items():
+        want = sorted(p for p in pts if not (t0 <= p[0] < t1))
+        assert sorted(got.get(conv, [])) == want, (conv, t0, t1)

@@ -80,3 +80,48 @@ def test_exchange_budgets(plans):
         if got > budget:
             over[name] = (got, budget)
     assert not over, f"exchange budget exceeded (got, budget): {over}"
+
+
+def test_maintenance_operator_plans(spark):
+    """Plan shape of the non-registry maintenance/serve operators:
+    purge joins must be BROADCAST hash joins (anti/semi — the purge
+    set is tiny by contract), read_range's metadata prune must sit in
+    the scan-side filter, and nothing may plan a cartesian."""
+    from pyspark.sql import functions as F
+
+    from gorilla_tsc_spark.operators.encode import encode_blocks
+    from gorilla_tsc_spark.operators.purge import (
+        purge_conversations,
+        purge_range,
+    )
+    from gorilla_tsc_spark.operators.retention import read_range
+    from gorilla_tsc_spark.operators.rollup import DAY_MS
+    from gorilla_tsc_spark.operators.sketches import (
+        distinct_sketch_tier,
+        merge_sketch_tier,
+    )
+    from gorilla_tsc_spark.queries import _transcripts
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        blocks = encode_blocks(_transcripts(spark, SF))
+        ids = spark.createDataFrame([("conv00000001",)], ["conv_id"])
+        t_ms = _transcripts(spark, SF).withColumn(
+            "ts_ms", F.unix_millis("ts"))
+        t0 = 1_704_672_000_000
+        cases = {
+            "purge_conversations": purge_conversations(blocks, ids),
+            "purge_range": purge_range(blocks, ids, t0, t0 + DAY_MS),
+            "read_range": read_range(blocks, t0, t0 + DAY_MS,
+                                     conv_ids=ids),
+            "sketch_cascade": merge_sketch_tier(
+                distinct_sketch_tier(t_ms, DAY_MS), DAY_MS, 30 * DAY_MS),
+        }
+        for name, df in cases.items():
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert not any(f in plan for f in FORBIDDEN), name
+            if name.startswith("purge") or name == "read_range":
+                assert "BroadcastHashJoin" in plan, name
+                assert "SortMergeJoin" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
