@@ -77,6 +77,16 @@ def purge_range(blocks: DataFrame, conv_ids, t0_ms: int, t1_ms: int,
     ids = _ids_df(blocks, conv_ids)
     untouched = blocks.join(F.broadcast(ids), "conv_id", "left_anti")
     matched = blocks.join(F.broadcast(ids), "conv_id", "left_semi")
-    rewritten = compact_blocks(matched, shuffle_partitions,
-                               drop_range=(t0_ms, t1_ms))
-    return untouched.unionByName(rewritten)
+    # matched conversations with NO block overlapping the window have
+    # nothing to purge — pass them through byte-identical too (the
+    # overlap set is a subset of the already-tiny purge set, so it
+    # broadcasts; first_ts/last_ts are metadata, no decode)
+    hit = (matched
+           .where((F.col("last_ts") >= F.lit(t0_ms))
+                  & (F.col("first_ts") < F.lit(t1_ms)))
+           .select("conv_id").distinct())
+    missed = matched.join(F.broadcast(hit), "conv_id", "left_anti")
+    rewritten = compact_blocks(
+        matched.join(F.broadcast(hit), "conv_id", "left_semi"),
+        shuffle_partitions, drop_range=(t0_ms, t1_ms))
+    return untouched.unionByName(missed).unionByName(rewritten)

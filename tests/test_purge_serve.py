@@ -111,6 +111,23 @@ def test_purge_range_copy_on_write(spark):
     out.unpersist()
 
 
+def test_purge_range_no_overlap_passthrough(spark):
+    """A matched conversation whose blocks never intersect the window
+    must pass through byte-identical — no rewrite, no re-layout."""
+    blocks = _blocks(spark).cache()
+    victims = _some_convs(blocks)
+    hi = blocks.agg(F.max("last_ts")).first()[0]
+    out = purge_range(blocks, victims, hi + DAY_MS, hi + 2 * DAY_MS)
+    got = {tuple(r) for r in out.select(
+        "conv_id", "channel", "block_start", "seq",
+        F.crc32("payload").alias("pc")).collect()}
+    want = {tuple(r) for r in blocks.select(
+        "conv_id", "channel", "block_start", "seq",
+        F.crc32("payload").alias("pc")).collect()}
+    assert got == want
+    blocks.unpersist()
+
+
 def test_purge_range_full_conversation_disappears(spark):
     blocks = _blocks(spark).cache()
     victims = _some_convs(blocks, n=1)
