@@ -142,6 +142,14 @@ def main() -> None:
             store, victims, t0, t1).count()
 
     run("purge_range", purge_range_bench)
+
+    from gorilla_tsc_spark.operators.audit import audit_blocks, audit_summary
+
+    def audit_store():
+        row = audit_summary(audit_blocks(store)).first()
+        stats["audit"] = {k: int(v) for k, v in row.asDict().items()}
+
+    run("audit_blocks", audit_store)
     store.unpersist()
 
     def hll_tier():
@@ -187,6 +195,7 @@ def main() -> None:
         "n_blocks": int(stats["blocks"]),
         "compaction": {"blocks_in": int(stats["small_blocks"]),
                        "blocks_out": int(stats["compacted_blocks"])},
+        "audit": stats["audit"],
         "cores": cores,
         "bench_reps": reps,
         "noise_spread": spreads,

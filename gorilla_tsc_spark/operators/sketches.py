@@ -1,4 +1,5 @@
-"""Mergeable distinct-count sketch tier (HyperLogLog).
+"""Mergeable sketch tiers: HyperLogLog distinct counts, KLL quantiles,
+Theta set algebra.
 
 Why this operator exists at 100 TB: "how many distinct conversations /
 users / tools were active per day, week, month?" is the canonical
@@ -69,3 +70,79 @@ def estimate(tier: DataFrame) -> DataFrame:
     """Materialize the point estimate next to each sketch."""
     return tier.withColumn(
         "approx_distinct", F.hll_sketch_estimate("sketch"))
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch tier — mergeable percentiles.  The exact
+# percentile tier (queries.q_tier_percentiles) re-reads raw values per
+# window size; this tier builds one ~3 KB KLL sketch per fine bucket
+# and answers ANY coarser window's p50/p90/p99 by merging sketches —
+# rank error ≈ 1.7 % at the default k=200.
+
+DEFAULT_KLL_K = 200
+
+
+def quantile_sketch_tier(df: DataFrame, bucket_ms: int,
+                         value_col: str = "v", ts_col: str = "ts_ms",
+                         k: int = DEFAULT_KLL_K) -> DataFrame:
+    """One KLL(double) sketch of ``value_col`` per time bucket."""
+    return (df
+            .groupBy(bucket_col(F.col(ts_col), bucket_ms).alias("bucket"))
+            .agg(F.kll_sketch_agg_double(value_col, F.lit(k))
+                 .alias("qsketch")))
+
+
+def merge_quantile_tier(tier: DataFrame, from_ms: int,
+                        to_ms: int) -> DataFrame:
+    """Coarsen a quantile tier by merging sketches — raw values are
+    never revisited."""
+    if to_ms % from_ms:
+        raise ValueError(f"{to_ms} not a multiple of {from_ms}")
+    return (tier
+            .groupBy(((F.col("bucket") / to_ms).cast("long") * to_ms)
+                     .alias("bucket"))
+            .agg(F.kll_merge_agg_double("qsketch").alias("qsketch")))
+
+
+def quantile_estimates(tier: DataFrame,
+                       qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Materialize point quantile estimates next to each sketch."""
+    out = tier
+    for q in qs:
+        out = out.withColumn(
+            f"p{int(q * 100)}",
+            F.kll_sketch_get_quantile_double("qsketch", F.lit(q)))
+    return out.withColumn("n", F.kll_sketch_get_n_double("qsketch"))
+
+
+# ---------------------------------------------------------------------------
+# Theta sketch tier — distinct counts WITH set algebra.  HLL unions
+# only; Theta also intersects and differences, which is what
+# cohort/churn questions need: "conversations active in both week 1
+# and week 2" is theta_intersection of two weekly sketches — no
+# re-scan of the raw turns, no join on the key set.
+
+
+def theta_sketch_tier(df: DataFrame, bucket_ms: int,
+                      key_col: str = "conv_id",
+                      ts_col: str = "ts_ms") -> DataFrame:
+    """One Theta sketch of distinct ``key_col`` per time bucket."""
+    return (df
+            .groupBy(bucket_col(F.col(ts_col), bucket_ms).alias("bucket"))
+            .agg(F.theta_sketch_agg(key_col).alias("tsketch")))
+
+
+def theta_overlap(tier: DataFrame, bucket_a: int, bucket_b: int) -> DataFrame:
+    """Retained / churned / new distinct keys between two buckets of a
+    Theta tier, one row: (retained, churned, new) estimates."""
+    a = tier.where(F.col("bucket") == bucket_a).select(
+        F.col("tsketch").alias("a"))
+    b = tier.where(F.col("bucket") == bucket_b).select(
+        F.col("tsketch").alias("b"))
+    return a.crossJoin(b).select(
+        F.theta_sketch_estimate(F.theta_intersection("a", "b"))
+        .alias("retained"),
+        F.theta_sketch_estimate(F.theta_difference("a", "b"))
+        .alias("churned"),
+        F.theta_sketch_estimate(F.theta_difference("b", "a"))
+        .alias("new"))

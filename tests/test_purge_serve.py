@@ -19,7 +19,12 @@ from gorilla_tsc_spark.operators.rollup import (
 from gorilla_tsc_spark.operators.sketches import (
     distinct_sketch_tier,
     estimate,
+    merge_quantile_tier,
     merge_sketch_tier,
+    quantile_estimates,
+    quantile_sketch_tier,
+    theta_overlap,
+    theta_sketch_tier,
 )
 
 
@@ -196,3 +201,57 @@ def test_distinct_sketch_tier_bounds_and_merge(spark):
         assert abs(got_30[b] - n) <= max(0.05 * n, 2.0), (b, n, got_30[b])
     t.unpersist()
     tier_1d.unpersist()
+
+
+def test_quantile_sketch_tier_rank_error(spark):
+    """KLL quantile tier: merged-month p50/p90/p99 must sit within
+    ±2.5 % RANK of the exact order statistics (k=200 gives ~1.7 %)."""
+    from gorilla_tsc_spark.queries import _transcripts
+    t = (_transcripts(spark, "/root/testdata/sf0.001")
+         .select("conv_id", F.unix_millis("ts").alias("ts_ms"),
+                 F.length("text").cast("double").alias("v")).cache())
+
+    tier = quantile_sketch_tier(t, DAY_MS)
+    month = quantile_estimates(
+        merge_quantile_tier(tier, DAY_MS, 30 * DAY_MS))
+    rows = {r["bucket"]: r for r in month.collect()}
+    for b, r in rows.items():
+        vals = sorted(x["v"] for x in t.where(
+            (F.floor(F.col("ts_ms") / (30 * DAY_MS)) * 30 * DAY_MS) == b)
+            .select("v").collect())
+        n = len(vals)
+        assert int(r["n"]) == n
+        for q in (0.5, 0.9, 0.99):
+            got = r[f"p{int(q * 100)}"]
+            lo = vals[max(0, int((q - 0.025) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.025) * n))]
+            assert lo <= got <= hi, (b, q, got, lo, hi)
+    t.unpersist()
+
+
+def test_theta_tier_set_algebra(spark):
+    """Theta tier: retained/churned/new between two consecutive days
+    must track the exact set sizes within 5 %."""
+    from gorilla_tsc_spark.queries import _transcripts
+    t = (_transcripts(spark, "/root/testdata/sf0.001")
+         .select("conv_id", F.unix_millis("ts").alias("ts_ms")).cache())
+
+    tier = theta_sketch_tier(t, DAY_MS).cache()
+    days = sorted(r["bucket"] for r in tier.select("bucket").collect())
+    # pick the densest adjacent pair so the exact sets are non-trivial
+    d1, d2 = days[len(days) // 2], days[len(days) // 2 + 1]
+    got = theta_overlap(tier, d1, d2).first()
+
+    def day_set(d):
+        return {r[0] for r in t.where(
+            (F.floor(F.col("ts_ms") / DAY_MS) * DAY_MS) == d)
+            .select("conv_id").distinct().collect()}
+
+    s1, s2 = day_set(d1), day_set(d2)
+    for name, exact in (("retained", len(s1 & s2)),
+                        ("churned", len(s1 - s2)),
+                        ("new", len(s2 - s1))):
+        assert abs(got[name] - exact) <= max(0.05 * exact, 2.0), (
+            name, got[name], exact)
+    tier.unpersist()
+    t.unpersist()
