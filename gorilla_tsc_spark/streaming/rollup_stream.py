@@ -41,3 +41,25 @@ def stream_rollup_1m(transcripts_stream: DataFrame,
     return agg.select(
         "conv_id", F.unix_millis(F.col("w.start")).alias("bucket"),
         "cnt", "vmin", "vmax", "vsum")
+
+
+def stream_distinct_sketch_1m(transcripts_stream: DataFrame,
+                              watermark: str = "2 minutes",
+                              key_col: str = "conv_id",
+                              lgk: int = 12) -> DataFrame:
+    """Streaming twin of operators/sketches.distinct_sketch_tier: one
+    HLL sketch of distinct ``key_col`` per emitted minute bucket.
+
+    HLL insertion is order-insensitive, so the streamed sketch of a
+    bucket equals the batch sketch of the same rows — coarser windows
+    union the emitted sketches exactly as in batch
+    (sketches.merge_sketch_tier).  State per bucket is one ~2.5 KB
+    sketch, bounded by the watermark.
+    """
+    pts = transcripts_stream.select(
+        F.col("ts").cast("timestamp").alias("ts"), key_col)
+    agg = (pts.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", "1 minute").alias("w"))
+           .agg(F.hll_sketch_agg(key_col, F.lit(lgk)).alias("sketch")))
+    return agg.select(
+        F.unix_millis(F.col("w.start")).alias("bucket"), "sketch")

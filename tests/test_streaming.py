@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 from gorilla_tsc_spark.codec.gorilla import GorillaDecoder
 from gorilla_tsc_spark.operators.rollup import MINUTE_MS, rollup_points
 from gorilla_tsc_spark.sources.transcripts import synthesize_transcripts
-from gorilla_tsc_spark.streaming import stream_encode_blocks, stream_rollup_1m
+from gorilla_tsc_spark.streaming import (
+    stream_distinct_sketch_1m,
+    stream_encode_blocks,
+    stream_rollup_1m,
+)
 
 
 @pytest.fixture(scope="module")
@@ -43,6 +47,39 @@ def test_stream_rollup_matches_batch(spark, transcripts_dir, tmp_path):
     diff = got.exceptAll(want).count()
     assert diff == 0, "streaming rollup emitted a bucket batch disagrees with"
     assert emitted >= want.count() - 20  # ≤ one open bucket per conv
+
+
+def test_stream_distinct_sketch_matches_batch(spark, transcripts_dir,
+                                              tmp_path):
+    """Every emitted minute bucket's streamed HLL estimate must equal
+    the batch sketch tier's estimate for the same bucket (HLL content
+    is insertion-order-insensitive)."""
+    from gorilla_tsc_spark.operators.sketches import (
+        distinct_sketch_tier,
+        estimate,
+    )
+
+    batch_t = spark.read.parquet(transcripts_dir)
+    stream_t = spark.readStream.schema(batch_t.schema).parquet(transcripts_dir)
+    out = stream_distinct_sketch_1m(stream_t)
+    q = (out.writeStream.format("memory").queryName("sk1m")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["bucket"]: r["approx_distinct"] for r in
+           spark.sql("SELECT bucket, hll_sketch_estimate(sketch) "
+                     "AS approx_distinct FROM sk1m").collect()}
+    assert got, "no buckets emitted"
+
+    want = {r["bucket"]: r["approx_distinct"] for r in estimate(
+        distinct_sketch_tier(
+            batch_t.withColumn("ts_ms", F.unix_millis("ts")), MINUTE_MS))
+        .collect()}
+    for b, est in got.items():
+        assert est == want[b], (b, est, want[b])
+    # append mode withholds only buckets past the watermark tail
+    assert len(got) >= len(want) - 20
 
 
 def test_stream_encode_blocks_decode(spark, transcripts_dir, tmp_path):
