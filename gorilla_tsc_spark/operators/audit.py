@@ -53,16 +53,21 @@ AUDIT_SCHEMA = T.StructType([
 ])
 
 
-def _decode_one(payload: bytes, expected: int):
+def _decode_one(payload: bytes, expected: int, pred_size: int):
     """Bounded single-block decode → (ts, bits) or None on corruption."""
     from ..codec import native
     from ..codec.fastdecode import decode_payload
+    from ..codec.gorilla import GorillaDecoder
 
     try:
-        res = native.decode_many([payload], np.array([expected], np.int64))
+        res = native.decode_many([payload], np.array([expected], np.int64),
+                                 pred_size=pred_size)
         if res is not None:
             return res[0], res[1]
-        t, v = decode_payload(payload)
+        if pred_size:
+            t, v = GorillaDecoder(payload, f"dfcm{pred_size}").read_all()
+        else:
+            t, v = decode_payload(payload)
         if len(t) != expected:
             return None
         return np.asarray(t, np.int64), np.asarray(v, np.uint64)
@@ -70,9 +75,11 @@ def _decode_one(payload: bytes, expected: int):
         return None
 
 
-def _audit_iter(pdf_iter):
+def _audit_iter(pdf_iter, predictor: str | None = None):
     from ..codec import native
+    from ..codec.gorilla import dfcm_table_size
 
+    pred_size = dfcm_table_size(predictor)
     for pdf in pdf_iter:
         n = len(pdf)
         if n == 0:
@@ -86,7 +93,8 @@ def _audit_iter(pdf_iter):
         ok_aggs = np.zeros(n, dtype=bool)
         decoded: list | None = None
         try:
-            res = native.decode_many(payloads, expected)
+            res = native.decode_many(payloads, expected,
+                                     pred_size=pred_size)
         except Exception:
             res = None
         if res is not None:
@@ -97,7 +105,7 @@ def _audit_iter(pdf_iter):
         else:
             # no native lib, or the batch has a corrupt member: isolate
             # per block so one bad payload can't mask its neighbours
-            decoded = [_decode_one(payloads[i], int(expected[i]))
+            decoded = [_decode_one(payloads[i], int(expected[i]), pred_size)
                        for i in range(n)]
 
         kinds = pdf["kind"].to_numpy()
@@ -145,8 +153,11 @@ def _audit_iter(pdf_iter):
 
 
 def audit_blocks(blocks: DataFrame, sample_pct: float = 100.0,
-                 seed: int = 0) -> DataFrame:
-    """One audit row per (sampled) block; no shuffle, read-only."""
+                 seed: int = 0, predictor: str | None = None) -> DataFrame:
+    """One audit row per (sampled) block; no shuffle, read-only.
+    ``predictor`` must match the store's encode-time predictor
+    (default last-value; pass e.g. ``"dfcm1024"`` for a DFCM store —
+    the same both-ends-agree contract as decode_blocks)."""
     df = blocks
     if sample_pct < 100.0:
         bucket = F.pmod(F.xxhash64("conv_id", "channel", "block_start",
@@ -155,7 +166,8 @@ def audit_blocks(blocks: DataFrame, sample_pct: float = 100.0,
     cols = ["conv_id", "channel", "kind", "block_start", "seq", "n_points",
             "n_bits", "payload", "first_ts", "last_ts", "agg_cnt",
             "agg_min", "agg_max", "agg_sum", "crc"]
-    return df.select(*cols).mapInPandas(_audit_iter, schema=AUDIT_SCHEMA)
+    return df.select(*cols).mapInPandas(
+        lambda it: _audit_iter(it, predictor), schema=AUDIT_SCHEMA)
 
 
 def audit_summary(audit: DataFrame) -> DataFrame:

@@ -165,7 +165,12 @@ def _make_encode_kernel(channels: list[Channel], predictor: str | None):
                 conv, name, kind, block_start, seq,
                 len(ts), enc.n_bits, payload,
                 int(ts[0]), int(ts[-1]),
-                len(ts), float(vals.min()), float(vals.max()), float(vals.sum()),
+                # sequential fold (reduceat), the same summation order
+                # as the batch kernel — ONE reproducible agg_sum
+                # algorithm store-wide (the integrity audit recomputes
+                # it bit-for-bit, operators/audit.py)
+                len(ts), float(vals.min()), float(vals.max()),
+                float(np.add.reduceat(vals, [0])[0]),
                 None, None, None, None, None,
                 zlib.crc32(payload),
             ))

@@ -68,6 +68,27 @@ def test_tampered_metadata_caught(spark):
     blocks.unpersist()
 
 
+def test_dfcm_store_audits_green(spark):
+    """A DFCM-encoded store audits green with the matching predictor
+    and red (bad_decode) with the default one — the both-ends-agree
+    contract applies to the audit too."""
+    from gorilla_tsc_spark.queries import _transcripts
+    blocks = encode_blocks(
+        _transcripts(spark, "/root/testdata/sf0.001"),
+        predictor="dfcm1024").cache()
+    n = blocks.count()
+    row = audit_summary(audit_blocks(blocks, predictor="dfcm1024")) \
+        .first().asDict()
+    assert all(v == 0 for k, v in row.items() if k.startswith("bad_")), row
+    # wrong predictor: the bitstream often still PARSES (timestamps are
+    # predictor-independent; repeat-bits dominate) but decodes wrong
+    # VALUES — exactly the silent corruption ok_aggs exists to catch
+    wrong = audit_summary(audit_blocks(blocks)).first().asDict()
+    assert wrong["bad_decode"] + wrong["bad_aggs"] > 0, wrong
+    assert n == row["n_blocks"]
+    blocks.unpersist()
+
+
 def test_corrupt_member_does_not_mask_neighbours(spark):
     """One corrupt payload in a batch must flag ONLY itself: the batch
     decode degrades to per-block isolation."""
