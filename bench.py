@@ -196,6 +196,9 @@ def main() -> None:
         "compaction": {"blocks_in": int(stats["small_blocks"]),
                        "blocks_out": int(stats["compacted_blocks"])},
         "audit": stats["audit"],
+        "serve": {"range_points": int(stats["range_points"]),
+                  "post_purge_blocks": int(stats["post_purge_blocks"]),
+                  "hll_30d_buckets": int(stats["hll_30d_buckets"])},
         "cores": cores,
         "bench_reps": reps,
         "noise_spread": spreads,
