@@ -160,6 +160,18 @@ def main() -> None:
 
     run("hll_distinct_tier", hll_tier)
 
+    from gorilla_tsc_spark.operators.sketches import (merge_topk_tier,
+                                                      topk_tier)
+
+    def topk_tier_bench():
+        t_ms = Q._transcripts(spark, sf_dir).select(
+            F.unix_millis("ts").alias("ts_ms"),
+            F.coalesce("tool", F.lit("none")).alias("item"))
+        stats["topk_30d_rows"] = merge_topk_tier(
+            topk_tier(t_ms, DAY_MS, "item"), DAY_MS, 30 * DAY_MS).count()
+
+    run("topk_heavy_hitters_tier", topk_tier_bench)
+
     bench_queries = [
         "rollup_1m", "rollup_cascade", "rollup_1d_from_blocks",
         "rollup_1d_from_auto_blocks", "rollup_from_decoded",
@@ -198,7 +210,8 @@ def main() -> None:
         "audit": stats["audit"],
         "serve": {"range_points": int(stats["range_points"]),
                   "post_purge_blocks": int(stats["post_purge_blocks"]),
-                  "hll_30d_buckets": int(stats["hll_30d_buckets"])},
+                  "hll_30d_buckets": int(stats["hll_30d_buckets"]),
+                  "topk_30d_rows": int(stats["topk_30d_rows"])},
         "cores": cores,
         "bench_reps": reps,
         "noise_spread": spreads,

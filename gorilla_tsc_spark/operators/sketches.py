@@ -1,5 +1,5 @@
 """Mergeable sketch tiers: HyperLogLog distinct counts, KLL quantiles,
-Theta set algebra.
+Theta set algebra, and truncated top-k heavy hitters.
 
 Why this operator exists at 100 TB: "how many distinct conversations /
 users / tools were active per day, week, month?" is the canonical
@@ -146,3 +146,99 @@ def theta_overlap(tier: DataFrame, bucket_a: int, bucket_b: int) -> DataFrame:
         .alias("churned"),
         F.theta_sketch_estimate(F.theta_difference("b", "a"))
         .alias("new"))
+
+
+# ---------------------------------------------------------------------------
+# Top-k heavy-hitters tier — "which tools / roles / error codes dominated
+# each day / week / month?".  Spark 4.1 ships no mergeable frequent-items
+# aggregate (count_min_sketch has no SQL-level merge/estimate), so this is
+# the classic mergeable Space-Saving summary expressed as pure DataFrame
+# ops: exact (bucket, item) counts at the fine grain, truncated to the
+# top k per bucket, with the (k+1)-th count carried as the bucket's error
+# bound.  Merging coarsens buckets by summing the kept counts and
+# re-truncating; the carried bounds keep the estimate interval honest:
+#
+#   invariant per tier row:   cnt_lb <= true count <= cnt_lb + err
+#   invariant per bucket:     any item NOT listed has true count <= bucket_err
+#
+# (Agarwal et al., "Mergeable Summaries", PODS'12: truncated counter
+# summaries merge with additive error — the same property that lets the
+# numeric 1m->1h->1d cascade never revisit raw data.)
+#
+# Scale notes: one shuffle keyed (bucket, item) with map-side partial
+# counts, then one window pass partitioned by bucket (rows per bucket are
+# bounded by the per-bucket item cardinality, already reduced by the agg);
+# the merge touches only k rows + 1 bound per fine bucket, never raw turns.
+
+DEFAULT_TOPK = 20
+
+
+def _truncate_topk(counts: DataFrame, k: int, tot_err=None) -> DataFrame:
+    """Keep the top-k rows per bucket by (cnt_lb desc, item asc) and set
+    bucket_err to the largest upper bound among dropped items (plus the
+    never-seen floor ``tot_err`` when merging).  One window partitioning,
+    no joins."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("cnt_lb").desc(), F.col("item").asc())
+    wb = Window.partitionBy("bucket")
+    dropped_ub = F.when(F.col("rk") > k, F.col("cnt_lb") + F.col("err"))
+    floor = F.col("tot_err") if tot_err is not None else F.lit(0)
+    return (counts
+            .withColumn("rk", F.row_number().over(w))
+            .withColumn("bucket_err",
+                        F.greatest(F.coalesce(F.max(dropped_ub).over(wb),
+                                              F.lit(0)), floor))
+            .where(F.col("rk") <= k)
+            .select("bucket", "item", "cnt_lb", "err", "bucket_err"))
+
+
+def topk_tier(df: DataFrame, bucket_ms: int, item_col: str,
+              ts_col: str = "ts_ms", k: int = DEFAULT_TOPK) -> DataFrame:
+    """Top-k item counts per fine time bucket.
+
+    Fine-grain counts are exact (err = 0); truncation to k rows records
+    the (k+1)-th count as ``bucket_err`` — the ceiling on any item the
+    summary dropped.
+    """
+    counts = (df
+              .groupBy(bucket_col(F.col(ts_col), bucket_ms).alias("bucket"),
+                       F.col(item_col).alias("item"))
+              .agg(F.count(F.lit(1)).alias("cnt_lb"))
+              .withColumn("err", F.lit(0).cast("long")))
+    return _truncate_topk(counts, k)
+
+
+def merge_topk_tier(tier: DataFrame, from_ms: int, to_ms: int,
+                    k: int = DEFAULT_TOPK) -> DataFrame:
+    """Coarsen a top-k tier (e.g. 1d -> 30d) without touching raw data.
+
+    For each item: the lower bound is the sum of its kept fine counts;
+    the error adds each fine bucket's bound where the item was absent
+    (it may have been dropped there with up to bucket_err occurrences).
+    Re-truncation then keeps the coarse top-k by lower bound.
+    """
+    if to_ms % from_ms:
+        raise ValueError(f"{to_ms} not a multiple of {from_ms}")
+    coarse = ((F.col("bucket") / to_ms).cast("long") * to_ms).alias("bucket")
+    # one row per fine bucket: its truncation bound
+    per_bucket = tier.select("bucket", "bucket_err").distinct()
+    tot = (per_bucket.groupBy(coarse)
+           .agg(F.sum("bucket_err").alias("tot_err")))
+    sums = (tier.groupBy(coarse, "item")
+            .agg(F.sum("cnt_lb").alias("cnt_lb"),
+                 F.sum("err").alias("present_err"),
+                 F.sum("bucket_err").alias("present_bnd")))
+    counts = (sums.join(F.broadcast(tot), "bucket")
+              .select("bucket", "item", "cnt_lb",
+                      (F.col("present_err") + F.col("tot_err")
+                       - F.col("present_bnd")).alias("err"),
+                      "tot_err"))
+    return _truncate_topk(counts, k, tot_err=F.col("tot_err"))
+
+
+def topk_estimates(tier: DataFrame) -> DataFrame:
+    """Materialize the count interval next to each kept item."""
+    return tier.select(
+        "bucket", "item", "cnt_lb",
+        (F.col("cnt_lb") + F.col("err")).alias("cnt_ub"), "bucket_err")
