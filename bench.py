@@ -172,6 +172,31 @@ def main() -> None:
 
     run("topk_heavy_hitters_tier", topk_tier_bench)
 
+    from gorilla_tsc_spark.operators.components import keep_canonical
+    from gorilla_tsc_spark.operators.dedup import lsh_pairs
+    from gorilla_tsc_spark.operators.decontaminate import decontaminate
+
+    def decontaminate_bench():
+        docs = Q._docs(spark, sf_dir)
+        # the eval side is tiny by contract (a benchmark suite); stand
+        # in with a handful of corpus texts so hits exist
+        ev = spark.createDataFrame(
+            [(r["text"],) for r in docs.limit(5).collect()], ["text"])
+        stats["decontaminated_kept"] = decontaminate(docs, ev).count()
+
+    run("decontaminate", decontaminate_bench)
+
+    # pairs are a materialized intermediate at warehouse scale (and the
+    # LSH cost is already measured by dedup_minhash_lsh), so time the
+    # component resolution itself against a pinned pair set
+    docs_b = Q._docs(spark, sf_dir)
+    pairs_b = lsh_pairs(docs_b).localCheckpoint()
+
+    def dup_components_bench():
+        stats["canonical_docs"] = keep_canonical(docs_b, pairs_b).count()
+
+    run("dup_components_canonical", dup_components_bench)
+
     bench_queries = [
         "rollup_1m", "rollup_cascade", "rollup_1d_from_blocks",
         "rollup_1d_from_auto_blocks", "rollup_from_decoded",
@@ -211,7 +236,9 @@ def main() -> None:
         "serve": {"range_points": int(stats["range_points"]),
                   "post_purge_blocks": int(stats["post_purge_blocks"]),
                   "hll_30d_buckets": int(stats["hll_30d_buckets"]),
-                  "topk_30d_rows": int(stats["topk_30d_rows"])},
+                  "topk_30d_rows": int(stats["topk_30d_rows"]),
+                  "decontaminated_kept": int(stats["decontaminated_kept"]),
+                  "canonical_docs": int(stats["canonical_docs"])},
         "cores": cores,
         "bench_reps": reps,
         "noise_spread": spreads,
