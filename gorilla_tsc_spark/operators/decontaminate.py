@@ -8,8 +8,9 @@ each document contributes one narrow explode over its own n-grams and a
 broadcast hash-join keeps only hits.  Nothing document-sized ever
 shuffles:
 
-  docs ──explode n-grams──> (doc_id, gram_hash) ──⋈ broadcast eval──>
-  hits ──groupBy doc_id──> (n_hits) ──join back (by id, no text)──> flags
+  docs ──per-row gram-hash array, explode──> (doc_id, gram_hash)
+       ──⋈ broadcast eval (filter first!)──> hits (rare)
+       ──distinct + groupBy doc_id──> (n_hits) ──join back by id──> flags
 
 The denominator (a doc's total distinct-position n-gram count) is a
 pure column expression (``size(tokens) - n + 1``) — no second pass.
@@ -30,28 +31,27 @@ DEFAULT_MIN_HITS = 1
 
 
 def _gram_hashes(df: DataFrame, id_col: str, n: int) -> DataFrame:
-    """(id, gram_hash) distinct word-n-gram identities.
+    """(id, gram_hash) word-n-gram identities — NOT deduplicated.
 
-    A gram's identity is xxhash64 of its n token hashes, not the joined
-    string: one posexplode, one window with n−1 ``lead``s, all
-    whole-stage codegen — no per-position string materialization (an
-    interpreted ``transform(sequence(...), concat_ws(...))`` was ~10×
-    slower at sf0.1).  Both the corpus and eval side use this same
-    identity, so hits compare exactly.
+    A gram's identity is xxhash64 of its n token hashes, computed as a
+    per-row array transform (hash the token array once, then each gram
+    hashes n bigint array elements) — a document's grams never leave
+    its partition, so this is shuffle-FREE.  No per-position string is
+    ever built (an interpreted ``concat_ws`` gram was ~10× slower).
+    Deduplication is deliberately left to the caller: the corpus side
+    must broadcast-filter against the eval set FIRST and dedupe only
+    the surviving hits — a corpus-wide distinct here would shuffle
+    every gram row at 100 TB.
     """
-    from pyspark.sql import Window
     toks = P.tokens("text", P.SPARK)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    th = (df
-          .select(id_col, F.posexplode(F.expr(toks)).alias("pos", "tok"))
-          .withColumn("th", F.xxhash64("tok")))
-    gram_cols = [F.col("th")] + [F.lead("th", j).over(w) for j in range(1, n)]
-    return (th
-            .select(id_col, F.xxhash64(*gram_cols).alias("gram_hash"),
-                    gram_cols[-1].alias("_last"))
-            .where(F.col("_last").isNotNull())
-            .select(id_col, "gram_hash")
-            .distinct())
+    gram_of = ", ".join(f"element_at(h, i + {j})" for j in range(n))
+    grams = (f"CASE WHEN size(h) >= {n} THEN "
+             f"transform(sequence(1, size(h) - {n - 1}), "
+             f"i -> xxhash64({gram_of})) ELSE array() END")
+    return (df
+            .select(id_col,
+                    F.expr(f"transform({toks}, t -> xxhash64(t))").alias("h"))
+            .select(id_col, F.explode(F.expr(grams)).alias("gram_hash")))
 
 
 def eval_ngrams(eval_df: DataFrame, n: int = DEFAULT_N) -> DataFrame:
@@ -60,7 +60,7 @@ def eval_ngrams(eval_df: DataFrame, n: int = DEFAULT_N) -> DataFrame:
     Rows: (gram_hash).  Small by contract (the eval suite), so callers
     broadcast it; persist + count it once if reused across corpora.
     """
-    ev = eval_df.select(F.monotonically_increasing_id().alias("eid"), "text")
+    ev = eval_df.select(F.lit(0).alias("eid"), "text")
     return _gram_hashes(ev, "eid", n).select("gram_hash").distinct()
 
 
@@ -74,10 +74,13 @@ def contamination(docs: DataFrame, eval_df: DataFrame,
     never crosses a shuffle here.
     """
     grams = eval_ngrams(eval_df, n)
+    # broadcast-filter BEFORE any dedup/agg: only hit rows (rare by
+    # construction) survive to the distinct + groupBy, so the corpus
+    # grams never shuffle
     hits = (_gram_hashes(docs.select("doc_id", "text"), "doc_id", n)
             .join(F.broadcast(grams), "gram_hash")
             .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_hits")))
+            .agg(F.count_distinct("gram_hash").alias("n_hits")))
     toks = P.tokens("text", P.SPARK)
     denom = docs.select(
         "doc_id",
