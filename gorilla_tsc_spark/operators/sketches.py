@@ -209,23 +209,14 @@ def topk_tier(df: DataFrame, bucket_ms: int, item_col: str,
     return _truncate_topk(counts, k)
 
 
-def merge_topk_tier(tier: DataFrame, from_ms: int, to_ms: int,
-                    k: int = DEFAULT_TOPK) -> DataFrame:
-    """Coarsen a top-k tier (e.g. 1d -> 30d) without touching raw data.
-
-    For each item: the lower bound is the sum of its kept fine counts;
-    the error adds each fine bucket's bound where the item was absent
-    (it may have been dropped there with up to bucket_err occurrences).
-    Re-truncation then keeps the coarse top-k by lower bound.
-    """
-    if to_ms % from_ms:
-        raise ValueError(f"{to_ms} not a multiple of {from_ms}")
-    coarse = ((F.col("bucket") / to_ms).cast("long") * to_ms).alias("bucket")
-    # one row per fine bucket: its truncation bound
-    per_bucket = tier.select("bucket", "bucket_err").distinct()
-    tot = (per_bucket.groupBy(coarse)
+def _merge_summaries(tagged: DataFrame, coarse, k: int) -> DataFrame:
+    """Merge truncated summaries grouped by ``coarse``.  ``tagged`` rows
+    are tier rows plus a ``src`` column making (src, bucket) unique, so
+    each input summary's bound is counted exactly once in the total."""
+    per_src = tagged.select("src", "bucket", "bucket_err").distinct()
+    tot = (per_src.groupBy(coarse)
            .agg(F.sum("bucket_err").alias("tot_err")))
-    sums = (tier.groupBy(coarse, "item")
+    sums = (tagged.groupBy(coarse, "item")
             .agg(F.sum("cnt_lb").alias("cnt_lb"),
                  F.sum("err").alias("present_err"),
                  F.sum("bucket_err").alias("present_bnd")))
@@ -235,6 +226,39 @@ def merge_topk_tier(tier: DataFrame, from_ms: int, to_ms: int,
                        - F.col("present_bnd")).alias("err"),
                       "tot_err"))
     return _truncate_topk(counts, k, tot_err=F.col("tot_err"))
+
+
+def merge_topk_tier(tier: DataFrame, from_ms: int, to_ms: int,
+                    k: int = DEFAULT_TOPK) -> DataFrame:
+    """Coarsen a top-k tier (e.g. 1d -> 30d) without touching raw data.
+
+    For each item: the lower bound is the sum of its kept fine counts;
+    the error adds each fine bucket's bound where the item was absent
+    (it may have been dropped there with up to bucket_err occurrences).
+    Re-truncation then keeps the coarse top-k by lower bound.  The
+    input must be a well-formed tier (one summary per fine bucket —
+    true by construction for topk_tier output); to fold a SAME-grain
+    late batch into a standing tier use refresh_topk_tier.
+    """
+    if to_ms % from_ms:
+        raise ValueError(f"{to_ms} not a multiple of {from_ms}")
+    coarse = ((F.col("bucket") / to_ms).cast("long") * to_ms).alias("bucket")
+    return _merge_summaries(tier.withColumn("src", F.lit(0)), coarse, k)
+
+
+def refresh_topk_tier(tier: DataFrame, late_df: DataFrame, bucket_ms: int,
+                      item_col: str, ts_col: str = "ts_ms",
+                      k: int = DEFAULT_TOPK) -> DataFrame:
+    """Fold a late-data batch into a standing same-grain top-k tier —
+    cost ∝ the late batch (same contract as rollup.refresh_tier).  The
+    late rows are summarized at the tier's grain, then the two
+    summaries merge per bucket; the source tag keeps each summary's
+    truncation bound distinct even when the bound values collide."""
+    late = topk_tier(late_df, bucket_ms, item_col, ts_col, k)
+    cols = ["bucket", "item", "cnt_lb", "err", "bucket_err"]
+    tagged = (tier.select(*cols).withColumn("src", F.lit(0))
+              .unionByName(late.select(*cols).withColumn("src", F.lit(1))))
+    return _merge_summaries(tagged, F.col("bucket").alias("bucket"), k)
 
 
 def topk_estimates(tier: DataFrame) -> DataFrame:

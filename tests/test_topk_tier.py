@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from gorilla_tsc_spark.operators.sketches import (
     merge_topk_tier,
+    refresh_topk_tier,
     topk_estimates,
     topk_tier,
 )
@@ -83,4 +84,78 @@ def test_topk_merge_bounds_and_coverage(spark):
         for item, n in truth.items():
             if n > bnd:
                 assert item in listed, (b, item, n, bnd)
+    df.unpersist()
+
+
+def _assert_invariants(rows, truth, ctx):
+    """Interval containment + completeness for one bucket's rows."""
+    bnd = rows[0]["bucket_err"]
+    listed = set()
+    for r in rows:
+        lb, ub = r["cnt_lb"], r["cnt_lb"] + r["err"]
+        assert lb <= truth.get(r["item"], 0) <= ub, (ctx, r["item"], lb, ub)
+        listed.add(r["item"])
+    for item, n in truth.items():
+        if n > bnd:
+            assert item in listed, (ctx, item, n, bnd)
+
+
+def test_topk_merge_invariants_randomized(spark):
+    """Seeded random corpora: skewed item draws over random bucket
+    spans, small k so truncation bites, invariants checked per coarse
+    bucket on every dataset."""
+    import numpy as np
+    rng = np.random.default_rng(20260817)
+    for case in range(8):
+        n_items = int(rng.integers(3, 40))
+        n_rows = int(rng.integers(50, 2000))
+        n_buckets = int(rng.integers(1, 12))
+        probs = rng.dirichlet(np.full(n_items, 0.3))
+        items = rng.choice(n_items, size=n_rows, p=probs)
+        buckets = rng.integers(0, n_buckets, size=n_rows)
+        ts = buckets * 1000 + rng.integers(0, 1000, size=n_rows)
+        df = spark.createDataFrame(
+            [(int(t), f"i{i}") for t, i in zip(ts, items)],
+            ["ts_ms", "item"])
+        k = int(rng.integers(2, 8))
+        tier = topk_tier(df, 1000, "item", k=k)
+        merged = merge_topk_tier(tier, 1000, 4000, k=k)
+        truth: dict[int, dict[str, int]] = {}
+        for t, i in zip(ts, items):
+            b = int(t // 4000 * 4000)
+            truth.setdefault(b, {})
+            truth[b][f"i{i}"] = truth[b].get(f"i{i}", 0) + 1
+        by_bucket: dict[int, list] = {}
+        for r in merged.collect():
+            by_bucket.setdefault(r["bucket"], []).append(r)
+        assert by_bucket.keys() == truth.keys(), case
+        for b, rows in by_bucket.items():
+            _assert_invariants(rows, truth[b], (case, b))
+
+
+def test_topk_refresh_late_data(spark):
+    df = _items(spark).cache()
+    # split deterministically: ~20% of rows arrive "late"
+    late = df.where(F.abs(F.hash("item", "ts_ms")) % 5 == 0)
+    base = df.where(F.abs(F.hash("item", "ts_ms")) % 5 != 0)
+    exact = _exact(df, DAY_MS)
+
+    # k large enough that nothing truncates -> refresh must be EXACT
+    big_k = max(len(v) for v in exact.values()) + 1
+    tier = topk_tier(base, DAY_MS, "item", k=big_k)
+    refreshed = refresh_topk_tier(tier, late, DAY_MS, "item", k=big_k)
+    got = {(r["bucket"], r["item"]): r for r in refreshed.collect()}
+    want = {(b, i): n for b, m in exact.items() for i, n in m.items()}
+    assert {k_: v["cnt_lb"] for k_, v in got.items()} == want
+    assert all(r["err"] == 0 for r in got.values())
+
+    # small k: truncation on both sides, bounds must still hold
+    tier5 = topk_tier(base, DAY_MS, "item", k=5)
+    ref5 = refresh_topk_tier(tier5, late, DAY_MS, "item", k=5)
+    by_bucket: dict[int, list] = {}
+    for r in ref5.collect():
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert by_bucket.keys() == exact.keys()
+    for b, rows in by_bucket.items():
+        _assert_invariants(rows, exact[b], b)
     df.unpersist()
