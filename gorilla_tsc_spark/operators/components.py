@@ -17,6 +17,13 @@ graph would want the large-star/small-star algorithm (Kiveris et al.,
 truncated with localCheckpoint every round so the plan does not grow
 with the iteration count; convergence is detected by counting changed
 labels (one lightweight action per round).
+
+Safety under early stop: if max_rounds is hit before convergence (a
+path longer than the round budget), labels are non-minimal but every
+node's label still points INTO its own component, and a node labeled
+with its own id always survives keep_canonical — so an unconverged run
+can only over-KEEP (more than one doc of a cluster), never drop a
+whole cluster.  Duplicate-removal degrades gracefully toward no-op.
 """
 from __future__ import annotations
 

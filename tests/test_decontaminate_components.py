@@ -71,6 +71,61 @@ def test_dup_components_chain_and_islands(spark):
     assert kept == {1, 10, 20, 99}
 
 
+def test_dup_components_randomized_vs_union_find(spark):
+    """Seeded random graphs: Spark labels must equal a union-find
+    ground truth (label = min member id)."""
+    import numpy as np
+    rng = np.random.default_rng(20260817)
+    for case in range(6):
+        n = int(rng.integers(4, 60))
+        m = int(rng.integers(1, max(2, n)))
+        a = rng.integers(0, n, size=m)
+        b = rng.integers(0, n, size=m)
+        edges = [(int(x), int(y)) for x, y in zip(a, b) if x != y]
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for x, y in edges:
+            parent[find(x)] = find(y)
+        members: dict[int, set] = {}
+        for x, y in edges:
+            for v in (x, y):
+                members.setdefault(find(v), set()).add(v)
+        want = {v: min(s) for s in members.values() for v in s}
+
+        pairs = spark.createDataFrame(edges, ["a_id", "b_id"])
+        got = {r["id"]: r["comp"] for r in dup_components(pairs).collect()}
+        assert got == want, (case, got, want)
+
+
+def test_dup_components_early_stop_overkeeps_never_drops(spark):
+    """A 9-node path with max_rounds too small: labels are non-minimal,
+    but the global min keeps itself and no node maps outside its
+    component — unconverged runs only over-keep."""
+    path = [(i, i + 1) for i in range(8)]
+    pairs = spark.createDataFrame(path, ["a_id", "b_id"])
+    got = {r["id"]: r["comp"] for r in
+           dup_components(pairs, max_rounds=2).collect()}
+    assert got[0] == 0                    # the canonical doc survives
+    assert any(v != 0 for v in got.values())  # genuinely unconverged
+    assert all(0 <= v <= k for k, v in got.items())  # labels stay inside
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(9)],
+                                 ["doc_id", "text"])
+    kept = {r["doc_id"] for r in keep_canonical(docs, pairs).collect()}
+    assert kept == {0}                    # converged default: exact
+    # early-stop keep via the labels directly: node 0 always kept
+    keepers = {k for k, v in got.items() if k == v}
+    assert 0 in keepers and len(keepers) >= 1
+
+
 def test_dup_components_on_lsh_pairs(spark):
     """End-to-end over the documents fixture: components from real LSH
     pairs must be consistent (label = min member, every labeled node
