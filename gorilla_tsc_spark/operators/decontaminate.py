@@ -86,7 +86,9 @@ def contamination(docs: DataFrame, eval_df: DataFrame,
         "doc_id",
         F.greatest(F.expr(f"size({toks}) - {n - 1}"),
                    F.lit(0)).alias("n_grams"))
-    return (denom.join(hits, "doc_id", "left")
+    # hits are bounded by eval overlap (rare by contract) — broadcast
+    # them so the corpus-sized denom side never shuffles for this join
+    return (denom.join(F.broadcast(hits), "doc_id", "left")
             .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
             .withColumn("score",
                         F.when(F.col("n_grams") > 0,
@@ -102,4 +104,4 @@ def decontaminate(docs: DataFrame, eval_df: DataFrame,
     so the kept side is a pure scan-side filter."""
     flagged = (contamination(docs, eval_df, n, min_hits)
                .where("contaminated").select("doc_id"))
-    return docs.join(flagged, "doc_id", "left_anti")
+    return docs.join(F.broadcast(flagged), "doc_id", "left_anti")

@@ -47,6 +47,41 @@ def test_contamination_flags_exact_overlap(spark):
     assert kept == {2, 3, 4}
 
 
+def test_contamination_randomized_vs_python(spark):
+    """Seeded random corpora vs a pure-Python n-gram set reference:
+    n_hits (distinct shared n-grams) and n_grams must match exactly."""
+    import numpy as np
+    vocab = [f"w{i}" for i in range(30)]
+    rng = np.random.default_rng(20260817)
+    for case in range(5):
+        n = int(rng.integers(2, 6))
+        docs_py = {}
+        for d in range(int(rng.integers(3, 12))):
+            ln = int(rng.integers(0, 25))
+            docs_py[d] = [vocab[i] for i in rng.integers(0, 30, size=ln)]
+        evs = []
+        for _ in range(int(rng.integers(1, 4))):
+            ln = int(rng.integers(n, 15))
+            evs.append([vocab[i] for i in rng.integers(0, 30, size=ln)])
+
+        def grams(toks):
+            return {tuple(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+
+        ev_grams = set().union(*(grams(e) for e in evs))
+        want = {d: (max(len(t) - n + 1, 0),
+                    len(grams(t) & ev_grams))
+                for d, t in docs_py.items()}
+
+        docs = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs_py.items()],
+            ["doc_id", "text"])
+        ev = spark.createDataFrame([(" ".join(e),) for e in evs], ["text"])
+        got = {r["doc_id"]: (r["n_grams"], r["n_hits"])
+               for r in contamination(docs, ev, n=n).collect()}
+        assert got == want, (case, n, got, want)
+
+
 def test_contamination_min_hits_threshold(spark):
     docs = _corpus(spark)
     ev = spark.createDataFrame([(t,) for t in EVAL], ["text"])

@@ -19,6 +19,10 @@ SKIP = {"checkpoint_resume", "stream_rollup_1m", "stream_encode_roundtrip"}
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
+
+def plans_count(df, token: str) -> int:
+    return df._jdf.queryExecution().executedPlan().toString().count(token)
+
 # max Exchange nodes tolerated in the PHYSICAL plan (sf0.001, AQE off
 # for determinism).  These are ceilings, not targets — chosen one above
 # the current count where AQE would collapse further at runtime.
@@ -117,11 +121,30 @@ def test_maintenance_operator_plans(spark):
             "sketch_cascade": merge_sketch_tier(
                 distinct_sketch_tier(t_ms, DAY_MS), DAY_MS, 30 * DAY_MS),
         }
+
+        from gorilla_tsc_spark.operators.decontaminate import decontaminate
+        from gorilla_tsc_spark.operators.sketches import (merge_topk_tier,
+                                                          topk_tier)
+        from gorilla_tsc_spark.queries import _docs
+        docs = _docs(spark, SF)
+        ev = spark.createDataFrame(
+            [(r["text"],) for r in docs.limit(2).collect()], ["text"])
+        cases["decontaminate"] = decontaminate(docs, ev)
+        cases["topk_merge"] = merge_topk_tier(
+            topk_tier(t_ms.withColumn(
+                "item", F.coalesce("tool", F.lit("none"))), DAY_MS, "item"),
+            DAY_MS, 30 * DAY_MS)
+
         for name, df in cases.items():
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert not any(f in plan for f in FORBIDDEN), name
             if name.startswith("purge") or name == "read_range":
                 assert "BroadcastHashJoin" in plan, name
                 assert "SortMergeJoin" not in plan, name
+        # decontaminate's joins (eval grams in, flagged ids out) must
+        # both broadcast — the corpus side may never shuffle for a join
+        assert plans_count(cases["decontaminate"], "BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in cases["decontaminate"] \
+            ._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
