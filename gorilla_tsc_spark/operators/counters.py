@@ -14,6 +14,10 @@ from their documented definitions):
   value was current (LOCF weighting), not by sample count — the right
   average for irregularly-sampled gauges, where plain avg over-weights
   bursts of samples.
+- ``anomaly_zscore``: trailing-window z-score per tier row with a
+  TIME-based frame (``rangeBetween`` on the bucket column), so sparse
+  series don't smear old history into the baseline the way a row-count
+  frame would.
 
 Scale shape: everything here is a window function partitioned by
 series + one groupBy keyed (series, bucket) — the same
@@ -86,3 +90,32 @@ def time_weighted_avg(points: DataFrame, bucket_ms: int,
                  F.sum("_w").alias("weight_ms"),
                  (F.sum(F.col("_v") * F.col("_w")) / F.sum("_w"))
                  .alias("twavg")))
+
+
+def anomaly_zscore(tier: DataFrame, bucket_ms: int, value_col: str,
+                   window_buckets: int = 24, tau: float = 3.0,
+                   min_baseline: int = 3, keys=("conv_id",)) -> DataFrame:
+    """Trailing-window z-score anomaly flags over a rollup tier.
+
+    Baseline = mean/stddev of ``value_col`` over the PRECEDING
+    ``window_buckets`` buckets (the current row excluded), using a
+    range frame on the bucket timestamps — a gap in the series narrows
+    the baseline rather than silently reaching further into the past.
+    Rows with fewer than ``min_baseline`` baseline points, or a zero
+    baseline deviation, get a null z (never a spurious flag).
+
+    Same shuffle profile as every tier op: one window partitioned by
+    series, ordered by bucket — whole-stage codegen, no Python.
+    """
+    w = (Window.partitionBy(*keys).orderBy("bucket")
+         .rangeBetween(-window_buckets * bucket_ms, -bucket_ms))
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.when((n >= min_baseline) & (sd > 0),
+               (F.col(value_col) - mu) / sd)
+    return (tier
+            .withColumn("baseline_n", n)
+            .withColumn("z", z)
+            .withColumn("anomaly", F.coalesce(F.abs(z) > tau,
+                                              F.lit(False))))

@@ -100,3 +100,42 @@ def test_twavg_on_decoded_channel(spark):
     out = time_weighted_avg(pts, 3_600_000)
     row = out.agg(F.count(F.lit(1)), F.min("weight_ms")).first()
     assert row[0] > 0 and row[1] > 0
+
+
+def test_anomaly_zscore_vs_numpy(spark):
+    """Time-ranged trailing z-score vs a NumPy reference, including a
+    gap that must NARROW the baseline (range frame, not row frame), a
+    planted spike, and the min-baseline guard."""
+    from gorilla_tsc_spark.operators.counters import anomaly_zscore
+
+    t0 = 1_700_000_000_000
+    # series a: 10 steady buckets, a spike, 2 more; one 3-bucket gap
+    buckets_a = [0, 1, 2, 3, 4, 5, 6, 10, 11, 12, 13, 14]
+    vals_a = [5.0, 5.1, 4.9, 5.0, 5.2, 4.8, 5.0, 5.1, 4.9, 5.0, 5.2, 50.0]
+    rows = [("a", t0 + b * BUCKET, v) for b, v in zip(buckets_a, vals_a)]
+    # series b: too few points for any baseline
+    rows += [("b", t0 + b * BUCKET, 1.0) for b in range(2)]
+    tier = spark.createDataFrame(
+        rows, "conv_id string, bucket long, v double")
+
+    W = 5
+    got = {(r["conv_id"], r["bucket"]): r
+           for r in anomaly_zscore(tier, BUCKET, "v", window_buckets=W,
+                                   tau=3.0, min_baseline=3).collect()}
+
+    for i, (b, v) in enumerate(zip(buckets_a, vals_a)):
+        base = [vals_a[j] for j in range(len(buckets_a))
+                if b - W <= buckets_a[j] <= b - 1]
+        r = got[("a", t0 + b * BUCKET)]
+        if len(base) < 3 or np.std(base, ddof=1) == 0:
+            assert r["z"] is None and not r["anomaly"], (b, r)
+        else:
+            want = (v - np.mean(base)) / np.std(base, ddof=1)
+            assert abs(r["z"] - want) < 1e-9, (b, r["z"], want)
+            assert r["anomaly"] == (abs(want) > 3.0), b
+            assert r["baseline_n"] == len(base)
+    # exactly one anomaly: the planted spike
+    flagged = [k for k, r in got.items() if r["anomaly"]]
+    assert flagged == [("a", t0 + 14 * BUCKET)]
+    # series b never has a baseline
+    assert all(got[("b", t0 + b * BUCKET)]["z"] is None for b in range(2))
