@@ -63,3 +63,29 @@ def stream_distinct_sketch_1m(transcripts_stream: DataFrame,
            .agg(F.hll_sketch_agg(key_col, F.lit(lgk)).alias("sketch")))
     return agg.select(
         F.unix_millis(F.col("w.start")).alias("bucket"), "sketch")
+
+
+def stream_item_counts_1m(transcripts_stream: DataFrame,
+                          item_expr: str = "coalesce(tool, 'none')",
+                          watermark: str = "2 minutes") -> DataFrame:
+    """Streaming feeder of the top-k heavy-hitters tier: exact
+    (bucket, item, cnt_lb) counts per emitted minute window.
+
+    Truncation (sketches._truncate_topk) is a ranking window — not
+    expressible inside a streaming aggregation — so the stream emits
+    the EXACT fine counts (watermark-final, append mode) and the serve
+    side truncates the sink in batch: topk over the streamed tier =
+    sketches merge path with err=0 inputs, identical to the batch
+    topk_tier of the same rows.  State per bucket is one counter per
+    distinct item, bounded by the watermark.
+    """
+    pts = transcripts_stream.select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr(item_expr).alias("item"))
+    agg = (pts.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", "1 minute").alias("w"), "item")
+           .agg(F.count(F.lit(1)).alias("cnt_lb")))
+    return agg.select(
+        F.unix_millis(F.col("w.start")).alias("bucket"), "item", "cnt_lb",
+        F.lit(0).cast("long").alias("err"),
+        F.lit(0).cast("long").alias("bucket_err"))

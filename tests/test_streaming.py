@@ -82,6 +82,47 @@ def test_stream_distinct_sketch_matches_batch(spark, transcripts_dir,
     assert len(got) >= len(want) - 20
 
 
+def test_stream_item_counts_feed_topk(spark, transcripts_dir, tmp_path):
+    """Streamed fine counts must equal the batch topk fine tier (no
+    truncation on either side), and truncating the streamed sink in
+    batch must reproduce batch topk_tier exactly."""
+    from gorilla_tsc_spark.operators.sketches import (
+        _truncate_topk,
+        topk_tier,
+    )
+    from gorilla_tsc_spark.streaming import stream_item_counts_1m
+
+    batch_t = spark.read.parquet(transcripts_dir)
+    stream_t = spark.readStream.schema(batch_t.schema).parquet(transcripts_dir)
+    q = (stream_item_counts_1m(stream_t).writeStream.format("memory")
+         .queryName("hh1m").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck4"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hh1m").cache()
+    assert got.count() > 0
+
+    pts = batch_t.select(
+        F.unix_millis("ts").alias("ts_ms"),
+        F.expr("coalesce(tool, 'none')").alias("item"))
+    want_full = topk_tier(pts, MINUTE_MS, "item", k=1_000_000)
+    # every emitted (bucket, item) count matches batch exactly
+    assert got.select("bucket", "item", "cnt_lb").exceptAll(
+        want_full.select("bucket", "item", "cnt_lb")).count() == 0
+
+    # serve-side truncation of the streamed sink == batch topk_tier
+    k = 2
+    trunc = _truncate_topk(got.select("bucket", "item", "cnt_lb", "err"),
+                           k)
+    want_k = topk_tier(pts, MINUTE_MS, "item", k=k)
+    emitted_buckets = [r["bucket"] for r in
+                       got.select("bucket").distinct().collect()]
+    diff = (trunc.exceptAll(
+        want_k.where(F.col("bucket").isin(emitted_buckets))).count())
+    assert diff == 0
+    got.unpersist()
+
+
 def test_stream_encode_blocks_decode(spark, transcripts_dir, tmp_path):
     batch_t = spark.read.parquet(transcripts_dir)
     stream_t = spark.readStream.schema(batch_t.schema).parquet(transcripts_dir)
