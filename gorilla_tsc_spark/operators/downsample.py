@@ -84,3 +84,32 @@ def lttb(points: DataFrame, n_out: int = 100,
         })
 
     return points.groupBy(key).applyInPandas(kernel, schema=LTTB_SCHEMA)
+
+
+def m4(points: DataFrame, bucket_ms: int, key: str = "series",
+       ts_col: str = "t", v_col: str = "v") -> DataFrame:
+    """M4 downsampling: per (series, pixel-bucket) keep min, max, first
+    and last values (Jugel et al., "M4: A Visualization-Oriented Time
+    Series Data Aggregation", VLDB 2014) — the error-free width-based
+    aggregation for line charts.
+
+    Unlike LTTB this is a pure aggregate — one keyed groupBy, map-side
+    partials, whole-stage codegen, no Python — so it is the downsampler
+    to reach for at raw-scan scale; LTTB refines the look of the chart
+    when the reduced set is small enough to post-process.  min_by /
+    max_by on ts give first/last deterministically; tied extremes
+    resolve via the (v, ts) struct ordering (min → earliest tied point,
+    max → latest), pinned by the tests.
+    """
+    t, v = F.col(ts_col), F.col(v_col)
+    bucket = ((t / bucket_ms).cast("long") * bucket_ms).alias("bucket")
+    return (points.groupBy(F.col(key).alias("series"), bucket)
+            .agg(F.min(v).alias("v_min"),
+                 F.max(v).alias("v_max"),
+                 F.min_by(v, t).alias("v_first"),
+                 F.max_by(v, t).alias("v_last"),
+                 F.min(F.struct(v, t)).t.alias("t_min"),
+                 F.max(F.struct(v, t)).t.alias("t_max"),
+                 F.min(t).alias("t_first"),
+                 F.max(t).alias("t_last"),
+                 F.count(F.lit(1)).alias("n")))

@@ -25,3 +25,38 @@ def test_small_series_passthrough():
     ts = np.arange(10, dtype=np.int64)
     vs = np.arange(10, dtype=np.float64)
     assert lttb_select(ts, vs, 50).tolist() == list(range(10))
+
+
+def test_m4_vs_numpy(spark):
+    """M4 per-bucket min/max/first/last vs a NumPy reference, including
+    a tied-extreme bucket (min -> earliest, max -> latest)."""
+    from gorilla_tsc_spark.operators.downsample import m4
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for s in ("a", "b"):
+        ts = np.sort(rng.choice(100_000, size=400, replace=False))
+        vs = np.round(rng.normal(0, 10, size=400), 1)  # rounding forces ties
+        rows += [(s, int(t), float(v)) for t, v in zip(ts, vs)]
+    df = spark.createDataFrame(rows, "series string, t long, v double")
+
+    B = 10_000
+    got = {(r["series"], r["bucket"]): r
+           for r in m4(df, B).collect()}
+
+    by_key = {}
+    for s, t, v in rows:
+        by_key.setdefault((s, t // B * B), []).append((t, v))
+    assert set(got) == set(by_key)
+    for k, pts in by_key.items():
+        pts.sort()
+        ts = [p[0] for p in pts]
+        vs = [p[1] for p in pts]
+        r = got[k]
+        assert r["n"] == len(pts)
+        assert r["v_min"] == min(vs) and r["v_max"] == max(vs)
+        assert r["v_first"] == vs[0] and r["v_last"] == vs[-1]
+        assert r["t_first"] == ts[0] and r["t_last"] == ts[-1]
+        # tie policy: min -> earliest occurrence, max -> latest
+        assert r["t_min"] == min(t for t, v in pts if v == min(vs))
+        assert r["t_max"] == max(t for t, v in pts if v == max(vs))
