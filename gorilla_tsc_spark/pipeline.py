@@ -127,3 +127,44 @@ def run_pipeline(
         n_blocks=stats[0], n_points=stats[1] or 0, payload_bytes=stats[2] or 0,
         wall_sec=time.time() - t0,
     )
+
+
+def register_views(spark: SparkSession, warehouse: str,
+                   prefix: str = "gorilla_") -> list[str]:
+    """Expose the warehouse to plain ``spark.sql`` users.
+
+    Registers temp views over every tier table present plus a lazily
+    DECODED point view (``<prefix>points``) built on the block store —
+    ad hoc SQL like
+
+        SELECT conv_id, avg(v_double) FROM gorilla_points
+        WHERE channel = 'len' GROUP BY conv_id
+
+    Caveat (verified against the physical plan): predicates on the
+    points view sit ABOVE the decode kernel — Catalyst cannot push a
+    filter through mapInPandas — so the view decodes every block it
+    scans.  Fine for tier-wide SQL; for narrow time windows use
+    ``operators.retention.read_range`` (or ``jobs/export_job.py``),
+    which prunes on block metadata BEFORE decoding, or filter the
+    ``<prefix>blocks`` view on first_ts/last_ts/channel and decode the
+    result.  Returns the view names registered.  On Iceberg the tables
+    are already SQL-addressable; this is the parquet-sandbox
+    equivalent.
+    """
+    from .operators.encode import decode_blocks
+
+    names = []
+    blocks = read_blocks(spark, warehouse)
+    blocks.createOrReplaceTempView(f"{prefix}blocks")
+    names.append(f"{prefix}blocks")
+    decode_blocks(blocks).createOrReplaceTempView(f"{prefix}points")
+    names.append(f"{prefix}points")
+    for tier in ("rollup_1m", "rollup_1h", "rollup_1d", "rollup_1m_filled",
+                 "checkpoints"):
+        try:
+            read_tier(spark, warehouse, tier).createOrReplaceTempView(
+                f"{prefix}{tier}")
+            names.append(f"{prefix}{tier}")
+        except Exception:
+            continue  # tier not materialized in this warehouse
+    return names

@@ -172,3 +172,35 @@ def test_pipeline_and_resume(spark, transcripts, tmp_path_factory):
     a = spark.read.parquet(f"{wh}/rollup_1m")
     b = spark.read.parquet(f"{wh2}/rollup_1m")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_register_views_sql_surface(spark, transcripts, tmp_path_factory):
+    """register_views exposes the warehouse to plain spark.sql: the
+    points view equals decode_blocks, tier views answer SQL, and the
+    blocks view supports the documented manual-prune pattern."""
+    from gorilla_tsc_spark.operators.encode import decode_blocks
+    from gorilla_tsc_spark.pipeline import read_blocks, register_views, run_pipeline
+
+    wh = str(tmp_path_factory.mktemp("warehouse_views"))
+    run_pipeline(spark, transcripts, wh, points_per_block=256)
+    names = register_views(spark, wh, prefix="g_")
+    assert {"g_blocks", "g_points", "g_rollup_1m"} <= set(names)
+
+    pts_sql = spark.sql(
+        "SELECT conv_id, channel, ts_ms, v_double, v_long FROM g_points")
+    pts_api = decode_blocks(read_blocks(spark, wh)).select(
+        "conv_id", "channel", "ts_ms", "v_double", "v_long")
+    assert pts_sql.exceptAll(pts_api).count() == 0
+    assert pts_api.exceptAll(pts_sql).count() == 0
+
+    # tier SQL agrees with the tier parquet
+    n = spark.sql("SELECT count(*) AS n FROM g_rollup_1m").first()["n"]
+    assert n == spark.read.parquet(f"{wh}/rollup_1m").count() > 0
+
+    # manual-prune pattern: filter blocks view, then sum block points
+    lo = spark.sql("SELECT min(first_ts) AS t FROM g_blocks").first()["t"]
+    pruned = spark.sql(
+        f"SELECT sum(n_points) AS p, count(*) AS b FROM g_blocks "
+        f"WHERE last_ts >= {lo} AND first_ts < {lo + 86_400_000}").first()
+    total_b = spark.sql("SELECT count(*) AS b FROM g_blocks").first()["b"]
+    assert 0 < pruned["b"] <= total_b and pruned["p"] > 0
