@@ -94,7 +94,8 @@ def time_weighted_avg(points: DataFrame, bucket_ms: int,
 
 def anomaly_zscore(tier: DataFrame, bucket_ms: int, value_col: str,
                    window_buckets: int = 24, tau: float = 3.0,
-                   min_baseline: int = 3, keys=("conv_id",)) -> DataFrame:
+                   min_baseline: int = 3, keys=("conv_id",),
+                   season_ms: int | None = None) -> DataFrame:
     """Trailing-window z-score anomaly flags over a rollup tier.
 
     Baseline = mean/stddev of ``value_col`` over the PRECEDING
@@ -104,11 +105,24 @@ def anomaly_zscore(tier: DataFrame, bucket_ms: int, value_col: str,
     Rows with fewer than ``min_baseline`` baseline points, or a zero
     baseline deviation, get a null z (never a spurious flag).
 
+    ``season_ms`` switches to a SEASONAL baseline: the window partition
+    gains a phase key (``bucket % season_ms``) and the frame steps in
+    season multiples, so an hourly tier with ``season_ms=DAY_MS``
+    compares each bucket against the same hour of the preceding
+    ``window_buckets`` days — the right baseline for daily-cyclic
+    metrics where "3σ above the last 24 hours" would flag every
+    morning ramp.
+
     Same shuffle profile as every tier op: one window partitioned by
-    series, ordered by bucket — whole-stage codegen, no Python.
+    series (plus phase), ordered by bucket — whole-stage codegen, no
+    Python.
     """
-    w = (Window.partitionBy(*keys).orderBy("bucket")
-         .rangeBetween(-window_buckets * bucket_ms, -bucket_ms))
+    step = season_ms if season_ms else bucket_ms
+    parts = [F.col(k) for k in keys]
+    if season_ms:
+        parts.append((F.col("bucket") % season_ms).alias("_phase"))
+    w = (Window.partitionBy(*parts).orderBy("bucket")
+         .rangeBetween(-window_buckets * step, -step))
     mu = F.avg(value_col).over(w)
     sd = F.stddev_samp(value_col).over(w)
     n = F.count(value_col).over(w)

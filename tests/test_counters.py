@@ -139,3 +139,39 @@ def test_anomaly_zscore_vs_numpy(spark):
     assert flagged == [("a", t0 + 14 * BUCKET)]
     # series b never has a baseline
     assert all(got[("b", t0 + b * BUCKET)]["z"] is None for b in range(2))
+
+
+def test_anomaly_zscore_seasonal(spark):
+    """Seasonal baseline: an hourly tier with a strong daily cycle — a
+    morning ramp is NOT anomalous vs the same hour of prior days, but a
+    spike at a normally-quiet hour is; the trailing (non-seasonal)
+    baseline gets the ramp wrong, which is the point of the mode."""
+    from gorilla_tsc_spark.operators.counters import anomaly_zscore
+
+    HOUR = 3_600_000
+    DAY = 24 * HOUR
+    t0 = 1_700_000_000_000 - (1_700_000_000_000 % DAY)
+    rows = []
+    rng = np.random.default_rng(3)
+    for d in range(8):
+        for h in range(24):
+            v = (100.0 if 8 <= h <= 18 else 5.0) + rng.normal(0, 1.0)
+            # day 7, 03:00 — a spike at a quiet hour, same size as the
+            # NORMAL daytime level (invisible to a level-based check)
+            if d == 7 and h == 3:
+                v = 100.0
+            rows.append(("a", t0 + d * DAY + h * HOUR, float(v)))
+    tier = spark.createDataFrame(rows, "conv_id string, bucket long, v double")
+
+    got = {r["bucket"]: r for r in anomaly_zscore(
+        tier, HOUR, "v", window_buckets=6, tau=5.0,
+        min_baseline=5, season_ms=DAY).collect()}
+    spike = t0 + 7 * DAY + 3 * HOUR
+    assert got[spike]["anomaly"], got[spike]
+    # the morning ramp (08:00 of day 7) is normal vs prior 08:00s
+    assert not got[t0 + 7 * DAY + 8 * HOUR]["anomaly"]
+    # exactly one seasonal anomaly across the whole series
+    flagged = [b for b, r in got.items() if r["anomaly"]]
+    assert flagged == [spike]
+    # day 0 has no seasonal history -> null z everywhere
+    assert all(got[t0 + h * HOUR]["z"] is None for h in range(24))
