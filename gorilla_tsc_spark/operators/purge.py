@@ -90,3 +90,35 @@ def purge_range(blocks: DataFrame, conv_ids, t0_ms: int, t1_ms: int,
         matched.join(F.broadcast(hit), "conv_id", "left_semi"),
         shuffle_partitions, drop_range=(t0_ms, t1_ms))
     return untouched.unionByName(missed).unionByName(rewritten)
+
+
+def patch_tier_after_range_purge(tier: DataFrame, purged_blocks: DataFrame,
+                                 conv_ids, bucket_ms: int) -> DataFrame:
+    """Bring a rollup tier in line with a range-purged block store.
+
+    Whole-conversation purges compose with tiers directly (the same
+    anti-join applies to any conv_id-keyed table), but a RANGE purge
+    leaves the matched conversations' tier rows aggregating points
+    that no longer exist.  This operator drops the matched
+    conversations' tier rows and recomputes them from the surviving
+    blocks — decode cost ∝ purge set, never the store: the unmatched
+    tier rows pass through as a scan-side anti-join filter, and only
+    the matched conversations' (already rewritten, span-auto) blocks
+    reach the decode kernel.
+
+    Output rows for matched conversations are bit-equal to a full tier
+    rebuild (same rollup_points path as the pipeline), pinned by
+    tests/test_purge_serve.py.
+    """
+    from ..functions.channels import agg_channel_names
+    from .encode import block_value_column, decode_blocks
+    from .rollup import rollup_points
+
+    ids = _ids_df(tier, conv_ids)
+    keep = tier.join(F.broadcast(ids), "conv_id", "left_anti")
+    matched_blocks = purged_blocks.join(F.broadcast(ids), "conv_id",
+                                        "left_semi")
+    points = decode_blocks(matched_blocks).where(
+        F.col("channel").isin(agg_channel_names()))
+    recomputed = rollup_points(points, bucket_ms, block_value_column())
+    return keep.unionByName(recomputed.select(*keep.columns))

@@ -34,6 +34,12 @@ def main() -> None:
                     help="text file, one conv_id per line")
     ap.add_argument("--t0-ms", type=int, default=None)
     ap.add_argument("--t1-ms", type=int, default=None)
+    ap.add_argument("--patch-tiers", action="store_true",
+                    help="also rewrite rollup_1m/1h/1d so the purged "
+                         "range disappears from the aggregate tiers "
+                         "(whole-conversation mode patches tiers by "
+                         "the same anti-join; range mode recomputes "
+                         "matched conversations from surviving blocks)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
     if (args.t0_ms is None) != (args.t1_ms is None):
@@ -61,6 +67,33 @@ def main() -> None:
     survived.write.mode("overwrite").parquet(out_path)
     out = spark.read.parquet(out_path)
 
+    tier_rows = {}
+    if args.patch_tiers:
+        from gorilla_tsc_spark.operators.purge import (
+            patch_tier_after_range_purge,
+        )
+        from gorilla_tsc_spark.operators.rollup import TIER_MS, cascade
+        from gorilla_tsc_spark.sources.tables import read_tier, write_tier
+
+        t1m = read_tier(spark, args.warehouse, "rollup_1m")
+        if args.t0_ms is None:
+            t1m = purge_conversations(t1m, conv_ids)
+        else:
+            t1m = patch_tier_after_range_purge(t1m, out, conv_ids,
+                                               TIER_MS["1m"])
+        write_tier(t1m, args.warehouse, "rollup_1m_purged",
+                   mode="overwrite")
+        t1m = read_tier(spark, args.warehouse, "rollup_1m_purged")
+        # the coarser tiers cascade exactly from the patched 1m tier
+        for name, frm, to in (("rollup_1h", "1m", "1h"),
+                              ("rollup_1d", "1h", "1d")):
+            t = cascade(t1m if name == "rollup_1h" else t,
+                        TIER_MS[frm], TIER_MS[to])
+            write_tier(t, args.warehouse, f"{name}_purged",
+                       mode="overwrite")
+            t = read_tier(spark, args.warehouse, f"{name}_purged")
+        tier_rows = {"tier_1m_rows": t1m.count()}
+
     def acct(df):
         r = df.agg(F.count(F.lit(1)), F.sum("n_points")).first()
         return int(r[0]), int(r[1] or 0)
@@ -72,7 +105,7 @@ def main() -> None:
         "purge_set": len(conv_ids),
         "blocks_in": nb, "blocks_out": sb,
         "points_in": np_, "points_out": sp,
-        "out": out_path,
+        "out": out_path, **tier_rows,
     }))
 
 

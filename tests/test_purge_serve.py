@@ -255,3 +255,46 @@ def test_theta_tier_set_algebra(spark):
             name, got[name], exact)
     tier.unpersist()
     t.unpersist()
+
+
+def test_patch_tier_after_range_purge(spark):
+    """After a range purge the patched 1m tier must equal a full tier
+    rebuild from the purged store — and only matched conversations'
+    rows may differ from the original tier."""
+    from gorilla_tsc_spark.functions.channels import agg_channel_names
+    from gorilla_tsc_spark.operators.encode import block_value_column
+    from gorilla_tsc_spark.operators.purge import (
+        patch_tier_after_range_purge,
+        purge_range,
+    )
+    from gorilla_tsc_spark.operators.rollup import MINUTE_MS, rollup_points
+
+    blocks = _blocks(spark).cache()
+    victims = _some_convs(blocks)
+    lo, hi = blocks.agg(F.min("first_ts"), F.max("last_ts")).first()
+    t0 = (lo // DAY_MS + 1) * DAY_MS
+    t1 = t0 + 2 * DAY_MS
+    assert t1 < hi
+
+    def tier_of(b):
+        pts = decode_blocks(b).where(
+            F.col("channel").isin(agg_channel_names()))
+        return rollup_points(pts, MINUTE_MS, block_value_column())
+
+    before = tier_of(blocks).cache()
+    purged = purge_range(blocks, victims, t0, t1).cache()
+    patched = patch_tier_after_range_purge(
+        before, purged, victims, MINUTE_MS).cache()
+    want = tier_of(purged)
+
+    assert patched.exceptAll(want).count() == 0
+    assert want.exceptAll(patched).count() == 0
+    # untouched conversations' tier rows are literally the old rows
+    diff = patched.exceptAll(before)
+    assert diff.where(~F.col("conv_id").isin(victims)).count() == 0
+    # and the purged window is really gone from the tier
+    assert patched.where(
+        F.col("conv_id").isin(victims)
+        & (F.col("bucket") >= t0) & (F.col("bucket") < t1)).count() == 0
+    for df in (blocks, before, purged, patched):
+        df.unpersist()
