@@ -266,3 +266,30 @@ def topk_estimates(tier: DataFrame) -> DataFrame:
     return tier.select(
         "bucket", "item", "cnt_lb",
         (F.col("cnt_lb") + F.col("err")).alias("cnt_ub"), "bucket_err")
+
+
+def refresh_distinct_tier(tier: DataFrame, late_df: DataFrame,
+                          bucket_ms: int, key_col: str = "conv_id",
+                          ts_col: str = "ts_ms",
+                          lgk: int = DEFAULT_LGK) -> DataFrame:
+    """Fold a late-data batch into a standing same-grain HLL tier —
+    cost ∝ the late batch.  HLL union is exact w.r.t. the underlying
+    set union (a sketch of A ∪ B ≡ union of sketches of A and B), so
+    the refreshed tier is indistinguishable from a full rebuild."""
+    late = distinct_sketch_tier(late_df, bucket_ms, key_col, ts_col, lgk)
+    return (tier.unionByName(late)
+            .groupBy("bucket")
+            .agg(F.hll_union_agg("sketch", F.lit(False)).alias("sketch")))
+
+
+def refresh_quantile_tier(tier: DataFrame, late_df: DataFrame,
+                          bucket_ms: int, value_col: str = "v",
+                          ts_col: str = "ts_ms",
+                          k: int = DEFAULT_KLL_K) -> DataFrame:
+    """Fold a late-data batch into a standing same-grain KLL tier —
+    merged sketch ≡ a sketch built over the combined rows up to the
+    sketch's own rank error."""
+    late = quantile_sketch_tier(late_df, bucket_ms, value_col, ts_col, k)
+    return (tier.unionByName(late)
+            .groupBy("bucket")
+            .agg(F.kll_merge_agg_double("qsketch").alias("qsketch")))

@@ -298,3 +298,49 @@ def test_patch_tier_after_range_purge(spark):
         & (F.col("bucket") >= t0) & (F.col("bucket") < t1)).count() == 0
     for df in (blocks, before, purged, patched):
         df.unpersist()
+
+
+def test_sketch_tier_refresh(spark):
+    """Late-data refresh of HLL and KLL tiers equals a full rebuild:
+    HLL sketches exactly (set-union identity), KLL estimates within
+    the sketch's own rank error."""
+    from gorilla_tsc_spark.operators.sketches import (
+        distinct_sketch_tier,
+        estimate,
+        quantile_estimates,
+        quantile_sketch_tier,
+        refresh_distinct_tier,
+        refresh_quantile_tier,
+    )
+    from gorilla_tsc_spark.queries import _transcripts
+
+    t = (_transcripts(spark, "/root/testdata/sf0.001")
+         .select("conv_id", F.unix_millis("ts").alias("ts_ms"),
+                 F.length("text").cast("double").alias("v")).cache())
+    late = t.where(F.abs(F.hash("conv_id", "ts_ms")) % 4 == 0)
+    base = t.where(F.abs(F.hash("conv_id", "ts_ms")) % 4 != 0)
+
+    # HLL: estimates must be IDENTICAL to a full rebuild (union identity)
+    refreshed = estimate(refresh_distinct_tier(
+        distinct_sketch_tier(base, DAY_MS), late, DAY_MS))
+    full = estimate(distinct_sketch_tier(t, DAY_MS))
+    got = {r["bucket"]: r["approx_distinct"] for r in refreshed.collect()}
+    want = {r["bucket"]: r["approx_distinct"] for r in full.collect()}
+    assert got == want
+
+    # KLL: refreshed month percentiles track exact order stats within
+    # the same +-2.5% rank tolerance as the merge gate
+    refq = quantile_estimates(refresh_quantile_tier(
+        quantile_sketch_tier(base, DAY_MS), late, DAY_MS))
+    rows = {r["bucket"]: r for r in refq.collect()}
+    for b, r in rows.items():
+        vals = sorted(x["v"] for x in t.where(
+            (F.floor(F.col("ts_ms") / DAY_MS) * DAY_MS) == b)
+            .select("v").collect())
+        n = len(vals)
+        assert int(r["n"]) == n
+        for q in (0.5, 0.9, 0.99):
+            lo = vals[max(0, int((q - 0.025) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.025) * n))]
+            assert lo <= r[f"p{int(q * 100)}"] <= hi, (b, q)
+    t.unpersist()
