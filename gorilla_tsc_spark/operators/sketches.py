@@ -293,3 +293,26 @@ def refresh_quantile_tier(tier: DataFrame, late_df: DataFrame,
     return (tier.unionByName(late)
             .groupBy("bucket")
             .agg(F.kll_merge_agg_double("qsketch").alias("qsketch")))
+
+
+def merge_theta_tier(tier: DataFrame, from_ms: int, to_ms: int) -> DataFrame:
+    """Coarsen a Theta tier by unioning sketches (same cascade shape
+    as the HLL tier; the result still supports intersection/difference
+    at the coarser grain)."""
+    if to_ms % from_ms:
+        raise ValueError(f"{to_ms} not a multiple of {from_ms}")
+    return (tier
+            .groupBy(((F.col("bucket") / to_ms).cast("long") * to_ms)
+                     .alias("bucket"))
+            .agg(F.theta_union_agg("tsketch").alias("tsketch")))
+
+
+def refresh_theta_tier(tier: DataFrame, late_df: DataFrame, bucket_ms: int,
+                       key_col: str = "conv_id",
+                       ts_col: str = "ts_ms") -> DataFrame:
+    """Fold a late-data batch into a standing same-grain Theta tier —
+    like HLL, theta union is exact w.r.t. the underlying set union."""
+    late = theta_sketch_tier(late_df, bucket_ms, key_col, ts_col)
+    return (tier.unionByName(late)
+            .groupBy("bucket")
+            .agg(F.theta_union_agg("tsketch").alias("tsketch")))

@@ -344,3 +344,34 @@ def test_sketch_tier_refresh(spark):
             hi = vals[min(n - 1, int((q + 0.025) * n))]
             assert lo <= r[f"p{int(q * 100)}"] <= hi, (b, q)
     t.unpersist()
+
+
+def test_theta_tier_merge_and_refresh(spark):
+    """Theta tier cascade (1d -> 30d union) and same-grain late-data
+    refresh: distinct estimates within 5 % of exact, and cohort algebra
+    still works on the refreshed tier."""
+    from gorilla_tsc_spark.operators.sketches import (
+        merge_theta_tier,
+        refresh_theta_tier,
+        theta_sketch_tier,
+    )
+    from gorilla_tsc_spark.queries import _transcripts
+
+    t = (_transcripts(spark, "/root/testdata/sf0.001")
+         .select("conv_id", F.unix_millis("ts").alias("ts_ms")).cache())
+    late = t.where(F.abs(F.hash("conv_id", "ts_ms")) % 4 == 0)
+    base = t.where(F.abs(F.hash("conv_id", "ts_ms")) % 4 != 0)
+
+    refreshed = refresh_theta_tier(
+        theta_sketch_tier(base, DAY_MS), late, DAY_MS)
+    month = merge_theta_tier(refreshed, DAY_MS, 30 * DAY_MS)
+    got = {r["bucket"]: r["n"] for r in month.select(
+        "bucket", F.theta_sketch_estimate("tsketch").alias("n")).collect()}
+    exact = {r["bucket"]: r["n"] for r in t.groupBy(
+        (F.floor(F.col("ts_ms") / (30 * DAY_MS)) * 30 * DAY_MS)
+        .alias("bucket"))
+        .agg(F.count_distinct("conv_id").alias("n")).collect()}
+    assert got.keys() == exact.keys()
+    for b, n in exact.items():
+        assert abs(got[b] - n) <= max(0.05 * n, 2.0), (b, got[b], n)
+    t.unpersist()
