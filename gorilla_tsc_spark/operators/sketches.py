@@ -194,19 +194,58 @@ def _truncate_topk(counts: DataFrame, k: int, tot_err=None) -> DataFrame:
 
 
 def topk_tier(df: DataFrame, bucket_ms: int, item_col: str,
-              ts_col: str = "ts_ms", k: int = DEFAULT_TOPK) -> DataFrame:
+              ts_col: str = "ts_ms", k: int = DEFAULT_TOPK,
+              salts: int | None = None) -> DataFrame:
     """Top-k item counts per fine time bucket.
 
     Fine-grain counts are exact (err = 0); truncation to k rows records
     the (k+1)-th count as ``bucket_err`` — the ceiling on any item the
     summary dropped.
+
+    ``salts``: for HIGH-CARDINALITY item domains (e.g. conv_id as the
+    item) the per-bucket ranking window concentrates one bucket's whole
+    item set on one task.  With ``salts=S`` the truncation runs in two
+    phases: first per (bucket, xxhash64(item) % S) — each item's FULL
+    count lives in exactly one salt, so every true top-k item survives
+    its salt's top-k — then per bucket over ≤ S·k pre-truncated rows.
+    The kept set and counts are IDENTICAL to the unsalted operator
+    (pinned by tests); only ``bucket_err`` may be looser (the max salt
+    bound instead of the global (k+1)-th count — still a valid ceiling
+    on any unlisted item, which can only have been dropped within its
+    own salt).
     """
     counts = (df
               .groupBy(bucket_col(F.col(ts_col), bucket_ms).alias("bucket"),
                        F.col(item_col).alias("item"))
               .agg(F.count(F.lit(1)).alias("cnt_lb"))
               .withColumn("err", F.lit(0).cast("long")))
-    return _truncate_topk(counts, k)
+    if not salts or salts <= 1:
+        return _truncate_topk(counts, k)
+    from pyspark.sql import Window
+    ws = (Window.partitionBy("bucket",
+                             F.pmod(F.xxhash64("item"), F.lit(salts)))
+          .orderBy(F.col("cnt_lb").desc(), F.col("item").asc()))
+    wsb = Window.partitionBy("bucket",
+                             F.pmod(F.xxhash64("item"), F.lit(salts)))
+    dropped = F.when(F.col("rk") > k, F.col("cnt_lb"))
+    pre = (counts
+           .withColumn("rk", F.row_number().over(ws))
+           .withColumn("salt_err",
+                       F.coalesce(F.max(dropped).over(wsb), F.lit(0)))
+           .where(F.col("rk") <= k))
+    wb = Window.partitionBy("bucket")
+    w2 = Window.partitionBy("bucket").orderBy(
+        F.col("cnt_lb").desc(), F.col("item").asc())
+    return (pre
+            .withColumn("rk2", F.row_number().over(w2))
+            .withColumn("bucket_err",
+                        F.greatest(
+                            F.coalesce(F.max(F.when(F.col("rk2") > k,
+                                                    F.col("cnt_lb")))
+                                       .over(wb), F.lit(0)),
+                            F.max("salt_err").over(wb)))
+            .where(F.col("rk2") <= k)
+            .select("bucket", "item", "cnt_lb", "err", "bucket_err"))
 
 
 def _merge_summaries(tagged: DataFrame, coarse, k: int) -> DataFrame:

@@ -159,3 +159,35 @@ def test_topk_refresh_late_data(spark):
     for b, rows in by_bucket.items():
         _assert_invariants(rows, exact[b], b)
     df.unpersist()
+
+
+def test_topk_salted_identical_kept_set(spark):
+    """Salted two-phase truncation must keep the SAME items and counts
+    as the unsalted operator (the bound may only be looser), on the
+    fixture and on randomized skewed corpora."""
+    import numpy as np
+    df = _items(spark).cache()
+    plain = topk_tier(df, DAY_MS, "item", k=K).collect()
+    salted = topk_tier(df, DAY_MS, "item", k=K, salts=4).collect()
+    key = lambda rows: sorted((r["bucket"], r["item"], r["cnt_lb"])
+                              for r in rows)
+    assert key(plain) == key(salted)
+    bnd_p = {r["bucket"]: r["bucket_err"] for r in plain}
+    for r in salted:
+        assert r["bucket_err"] >= bnd_p[r["bucket"]]  # valid, maybe looser
+    df.unpersist()
+
+    rng = np.random.default_rng(42)
+    for case in range(4):
+        n_items = int(rng.integers(10, 80))
+        n_rows = int(rng.integers(100, 1500))
+        probs = rng.dirichlet(np.full(n_items, 0.2))
+        items = rng.choice(n_items, size=n_rows, p=probs)
+        ts = rng.integers(0, 3, size=n_rows) * 1000 + rng.integers(
+            0, 1000, size=n_rows)
+        rdf = spark.createDataFrame(
+            [(int(t), f"i{i}") for t, i in zip(ts, items)],
+            ["ts_ms", "item"])
+        a = topk_tier(rdf, 1000, "item", k=4).collect()
+        b = topk_tier(rdf, 1000, "item", k=4, salts=3).collect()
+        assert key(a) == key(b), case
