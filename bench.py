@@ -197,6 +197,29 @@ def main() -> None:
 
     run("dup_components_canonical", dup_components_bench)
 
+    from gorilla_tsc_spark.operators.counters import anomaly_zscore
+    from gorilla_tsc_spark.operators.rangejoin import range_join
+    from gorilla_tsc_spark.operators.rollup import (HOUR_MS, MINUTE_MS,
+                                                    rollup_points)
+
+    t_pts = Q._len_points(spark, sf_dir).localCheckpoint()
+    t1h_b = rollup_points(t_pts, HOUR_MS, F.col("v"),
+                          keys=("conv_id",)).localCheckpoint()
+
+    def anomaly_bench():
+        stats["anomalies"] = (anomaly_zscore(t1h_b, HOUR_MS, "vsum")
+                              .where("anomaly").count())
+
+    run("anomaly_zscore_1h", anomaly_bench)
+
+    def range_join_bench():
+        # annotate raw points with their hour-tier interval
+        iv = t1h_b.select("conv_id", F.col("bucket").alias("start_ms"),
+                          (F.col("bucket") + HOUR_MS).alias("end_ms"))
+        stats["range_joined"] = range_join(t_pts, iv, HOUR_MS).count()
+
+    run("range_join_points_to_hours", range_join_bench)
+
     bench_queries = [
         "rollup_1m", "rollup_cascade", "rollup_1d_from_blocks",
         "rollup_1d_from_auto_blocks", "rollup_from_decoded",
