@@ -117,6 +117,13 @@ def anomaly_zscore(tier: DataFrame, bucket_ms: int, value_col: str,
     series (plus phase), ordered by bucket — whole-stage codegen, no
     Python.
     """
+    if season_ms and season_ms % bucket_ms:
+        # a misaligned season silently starves every baseline below
+        # min_baseline (phases only re-align at lcm), disabling
+        # detection with no error — reject it like the tier merges do
+        raise ValueError(
+            f"season_ms={season_ms} must be a multiple of "
+            f"bucket_ms={bucket_ms}")
     step = season_ms if season_ms else bucket_ms
     parts = [F.col(k) for k in keys]
     if season_ms:

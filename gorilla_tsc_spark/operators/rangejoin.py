@@ -42,15 +42,21 @@ def range_join(points: DataFrame, intervals: DataFrame, bucket_ms: int,
         raise ValueError(f"how must be inner|left, got {how!r}")
     keys = list(keys)
     b = F.lit(bucket_ms)
+    # Guard before the explode: an inverted interval (end <= start,
+    # e.g. a 0-sentinel end on a corrupt row) would make sequence()
+    # DESCEND — one bad row amplifying into ~start/bucket_ms junk rows
+    # (or a "Too long sequence" crash) that the exact predicate would
+    # discard anyway.  Dropping them here is a semantic no-op.
+    intervals = intervals.where(F.col(end_col) > F.col(start_col))
     # every bucket the interval overlaps: floor(start/B)..floor((end-1)/B)
     iv = (intervals
           .withColumn("_bidx", F.explode(F.sequence(
-              (F.col(start_col) / b).cast("long"),
-              ((F.col(end_col) - 1) / b).cast("long"))))
+              F.floor(F.col(start_col) / b).cast("long"),
+              F.floor((F.col(end_col) - 1) / b).cast("long"))))
           .withColumn("_bucket", F.col("_bidx") * b)
           .drop("_bidx"))
     pt = points.withColumn(
-        "_bucket", (F.col(point_ts) / b).cast("long") * b)
+        "_bucket", F.floor(F.col(point_ts) / b).cast("long") * b)
     on = keys + ["_bucket"]
     matched = (pt.join(iv, on, "inner")
                .where((F.col(point_ts) >= F.col(start_col))

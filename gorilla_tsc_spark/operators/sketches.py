@@ -20,7 +20,7 @@ no Python in the loop, sketches shuffle as small fixed-size binaries
 Error model: standard HLL relative error ≈ 1.04/sqrt(2^lgK) — about
 1.6 % at the default lgK=12; the pytest gate asserts a conservative
 5 % bound against exact distinct counts per bucket and across the
-merge cascade (tests/test_sketches.py).
+merge cascade (tests/test_purge_serve.py).
 
 Reference parity note: not in the reference codec library — this is
 engine-tier functionality mandated by the continuous-aggregate half of
@@ -61,8 +61,7 @@ def merge_sketch_tier(tier: DataFrame, from_ms: int, to_ms: int) -> DataFrame:
     if to_ms % from_ms:
         raise ValueError(f"{to_ms} not a multiple of {from_ms}")
     return (tier
-            .groupBy(((F.col("bucket") / to_ms).cast("long") * to_ms)
-                     .alias("bucket"))
+            .groupBy(bucket_col(F.col("bucket"), to_ms).alias("bucket"))
             .agg(F.hll_union_agg("sketch", F.lit(False)).alias("sketch")))
 
 
@@ -99,19 +98,27 @@ def merge_quantile_tier(tier: DataFrame, from_ms: int,
     if to_ms % from_ms:
         raise ValueError(f"{to_ms} not a multiple of {from_ms}")
     return (tier
-            .groupBy(((F.col("bucket") / to_ms).cast("long") * to_ms)
-                     .alias("bucket"))
+            .groupBy(bucket_col(F.col("bucket"), to_ms).alias("bucket"))
             .agg(F.kll_merge_agg_double("qsketch").alias("qsketch")))
 
 
 def quantile_estimates(tier: DataFrame,
                        qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> DataFrame:
-    """Materialize point quantile estimates next to each sketch."""
+    """Materialize point quantile estimates next to each sketch.
+
+    Column names are collision-safe: p50/p90/p99 for the defaults,
+    p99_9 for 0.999, p28_5 for 0.285 — ``int()`` truncation would
+    mislabel 0.29 as p28 and silently overwrite p99 with p99.9.
+    """
     out = tier
+    names = set()
     for q in qs:
+        name = "p" + format(q * 100, "g").replace(".", "_").replace("-", "m")
+        if name in names:
+            raise ValueError(f"duplicate quantile label {name!r} from {qs}")
+        names.add(name)
         out = out.withColumn(
-            f"p{int(q * 100)}",
-            F.kll_sketch_get_quantile_double("qsketch", F.lit(q)))
+            name, F.kll_sketch_get_quantile_double("qsketch", F.lit(q)))
     return out.withColumn("n", F.kll_sketch_get_n_double("qsketch"))
 
 
@@ -134,11 +141,25 @@ def theta_sketch_tier(df: DataFrame, bucket_ms: int,
 
 def theta_overlap(tier: DataFrame, bucket_a: int, bucket_b: int) -> DataFrame:
     """Retained / churned / new distinct keys between two buckets of a
-    Theta tier, one row: (retained, churned, new) estimates."""
+    Theta tier, one row: (retained, churned, new) estimates.
+
+    Fails loudly (rather than returning an empty or multiplied result)
+    when a requested bucket is absent from the tier or appears more
+    than once — a silent 0-row answer reads as "no churn" on a
+    dashboard when the real problem is an off-by-one-grain bucket or
+    a tier unioned without re-aggregation.
+    """
     a = tier.where(F.col("bucket") == bucket_a).select(
         F.col("tsketch").alias("a"))
     b = tier.where(F.col("bucket") == bucket_b).select(
         F.col("tsketch").alias("b"))
+    for side, bucket, df in (("a", bucket_a, a), ("b", bucket_b, b)):
+        n = df.limit(2).count()
+        if n != 1:
+            raise ValueError(
+                f"theta_overlap: bucket {bucket} ({side}) has {n} tier "
+                f"rows (expected exactly 1) — wrong grain, expired "
+                f"bucket, or un-reaggregated union")
     return a.crossJoin(b).select(
         F.theta_sketch_estimate(F.theta_intersection("a", "b"))
         .alias("retained"),
@@ -183,7 +204,7 @@ def _truncate_topk(counts: DataFrame, k: int, tot_err=None) -> DataFrame:
         F.col("cnt_lb").desc(), F.col("item").asc())
     wb = Window.partitionBy("bucket")
     dropped_ub = F.when(F.col("rk") > k, F.col("cnt_lb") + F.col("err"))
-    floor = F.col("tot_err") if tot_err is not None else F.lit(0)
+    floor = tot_err if tot_err is not None else F.lit(0)
     return (counts
             .withColumn("rk", F.row_number().over(w))
             .withColumn("bucket_err",
@@ -281,19 +302,23 @@ def merge_topk_tier(tier: DataFrame, from_ms: int, to_ms: int,
     """
     if to_ms % from_ms:
         raise ValueError(f"{to_ms} not a multiple of {from_ms}")
-    coarse = ((F.col("bucket") / to_ms).cast("long") * to_ms).alias("bucket")
+    coarse = bucket_col(F.col("bucket"), to_ms).alias("bucket")
     return _merge_summaries(tier.withColumn("src", F.lit(0)), coarse, k)
 
 
 def refresh_topk_tier(tier: DataFrame, late_df: DataFrame, bucket_ms: int,
                       item_col: str, ts_col: str = "ts_ms",
-                      k: int = DEFAULT_TOPK) -> DataFrame:
+                      k: int = DEFAULT_TOPK,
+                      salts: int | None = None) -> DataFrame:
     """Fold a late-data batch into a standing same-grain top-k tier —
     cost ∝ the late batch (same contract as rollup.refresh_tier).  The
     late rows are summarized at the tier's grain, then the two
     summaries merge per bucket; the source tag keeps each summary's
-    truncation bound distinct even when the bound values collide."""
-    late = topk_tier(late_df, bucket_ms, item_col, ts_col, k)
+    truncation bound distinct even when the bound values collide.
+    ``salts`` passes through to the late batch's truncation — use the
+    same value the standing tier was built with for high-cardinality
+    item domains."""
+    late = topk_tier(late_df, bucket_ms, item_col, ts_col, k, salts=salts)
     cols = ["bucket", "item", "cnt_lb", "err", "bucket_err"]
     tagged = (tier.select(*cols).withColumn("src", F.lit(0))
               .unionByName(late.select(*cols).withColumn("src", F.lit(1))))
@@ -341,8 +366,7 @@ def merge_theta_tier(tier: DataFrame, from_ms: int, to_ms: int) -> DataFrame:
     if to_ms % from_ms:
         raise ValueError(f"{to_ms} not a multiple of {from_ms}")
     return (tier
-            .groupBy(((F.col("bucket") / to_ms).cast("long") * to_ms)
-                     .alias("bucket"))
+            .groupBy(bucket_col(F.col("bucket"), to_ms).alias("bucket"))
             .agg(F.theta_union_agg("tsketch").alias("tsketch")))
 
 

@@ -175,3 +175,12 @@ def test_anomaly_zscore_seasonal(spark):
     assert flagged == [spike]
     # day 0 has no seasonal history -> null z everywhere
     assert all(got[t0 + h * HOUR]["z"] is None for h in range(24))
+
+
+def test_anomaly_zscore_rejects_misaligned_season(spark):
+    import pytest
+    from gorilla_tsc_spark.operators.counters import anomaly_zscore
+    tier = spark.createDataFrame(
+        [("a", 0, 1.0)], "conv_id string, bucket long, v double")
+    with pytest.raises(ValueError, match="multiple of"):
+        anomaly_zscore(tier, 3_600_000, "v", season_ms=5_000_000)

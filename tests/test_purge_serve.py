@@ -375,3 +375,34 @@ def test_theta_tier_merge_and_refresh(spark):
     for b, n in exact.items():
         assert abs(got[b] - n) <= max(0.05 * n, 2.0), (b, got[b], n)
     t.unpersist()
+
+
+def test_theta_overlap_rejects_missing_bucket(spark):
+    import pytest
+    from gorilla_tsc_spark.operators.sketches import (
+        theta_overlap,
+        theta_sketch_tier,
+    )
+    from gorilla_tsc_spark.queries import _transcripts
+    t = (_transcripts(spark, "/root/testdata/sf0.001")
+         .select("conv_id", F.unix_millis("ts").alias("ts_ms")))
+    tier = theta_sketch_tier(t, DAY_MS)
+    with pytest.raises(ValueError, match="0 tier rows"):
+        theta_overlap(tier, 123, 456)  # bucket not in the tier
+
+
+def test_quantile_label_safety(spark):
+    import pytest
+    from gorilla_tsc_spark.operators.sketches import (
+        quantile_estimates,
+        quantile_sketch_tier,
+    )
+    from gorilla_tsc_spark.queries import _transcripts
+    t = (_transcripts(spark, "/root/testdata/sf0.001")
+         .select(F.unix_millis("ts").alias("ts_ms"),
+                 F.length("text").cast("double").alias("v")))
+    tier = quantile_sketch_tier(t, DAY_MS)
+    out = quantile_estimates(tier, qs=(0.29, 0.999))
+    assert "p29" in out.columns and "p99_9" in out.columns
+    with pytest.raises(ValueError, match="duplicate quantile label"):
+        quantile_estimates(tier, qs=(0.5, 0.5))

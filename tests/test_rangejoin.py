@@ -91,3 +91,19 @@ def test_range_join_on_sessions(spark):
     n_pts = pts.count()
     assert joined.count() == n_pts  # exactly one session per event
     assert joined.select("conv_id", "event_id").distinct().count() == n_pts
+
+
+def test_range_join_inverted_interval_guard(spark):
+    """A corrupt interval (end <= start) must be dropped BEFORE the
+    explode — no row amplification, no descending-sequence crash — and
+    negative timestamps bucket by floor, not trunc."""
+    p = spark.createDataFrame(
+        [("k0", 100), ("k0", -4_999)], "conv_id string, ts_ms long")
+    iv = spark.createDataFrame(
+        [("k0", 1_000_000_000, 0, "corrupt"),     # inverted: dropped
+         ("k0", 50, 200, "good"),
+         ("k0", -5_000, -1, "negative")],
+        "conv_id string, start_ms long, end_ms long, label string")
+    got = {(r["ts_ms"], r["label"])
+           for r in range_join(p, iv, 5_000).collect()}
+    assert got == {(100, "good"), (-4_999, "negative")}
