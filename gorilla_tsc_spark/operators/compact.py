@@ -35,7 +35,7 @@ from ..codec.batch import encode_partition
 from .encode import BLOCKS_SCHEMA, DAY_MS, GAP_SPLIT_MS, _day_cols, _day_runs
 
 
-def _compact_iter(pdf_iter, drop_range=None):
+def _compact_iter(pdf_iter, drop_range=None, predictor=None):
     """mapInPandas kernel.  Arrow may split one partition into many
     batches; a (conv_id, channel) series straddling a batch boundary
     would otherwise emit two compacted blocks with the SAME identity
@@ -56,26 +56,31 @@ def _compact_iter(pdf_iter, drop_range=None):
         carry = pdf.iloc[tail0:].reset_index(drop=True)
         head = pdf.iloc[:tail0]
         if len(head):
-            yield from _compact_pdf(head, drop_range)
+            yield from _compact_pdf(head, drop_range, predictor)
     if carry is not None and len(carry):
-        yield from _compact_pdf(carry, drop_range)
+        yield from _compact_pdf(carry, drop_range, predictor)
 
 
-def _compact_pdf(pdf, drop_range=None):
+def _compact_pdf(pdf, drop_range=None, predictor=None):
     from ..codec import native
     from ..codec.fastdecode import decode_payload
+    from ..codec.gorilla import GorillaDecoder, dfcm_table_size
 
+    pred_size = dfcm_table_size(predictor)  # validates the spec
     cols = [f.name for f in BLOCKS_SCHEMA.fields]
     payloads = [bytes(p) for p in pdf["payload"]]
     expected = pdf["n_points"].to_numpy(np.int64)
-    res = native.decode_many(payloads, expected)
+    res = native.decode_many(payloads, expected, pred_size=pred_size)
     if res is not None:
         ts, bits, _ = res
     else:
         ts_l: list[int] = []
         v_l: list[int] = []
         for p in payloads:
-            t, v = decode_payload(p)
+            if pred_size:
+                t, v = GorillaDecoder(p, predictor).read_all()
+            else:
+                t, v = decode_payload(p)
             ts_l.extend(t)
             v_l.extend(v)
         ts = np.array(ts_l, dtype=np.int64)
@@ -129,7 +134,8 @@ def _compact_pdf(pdf, drop_range=None):
     kind_arr = kind_b[first_block_of_series[blk_series]]
     g_bts = (ts[starts] // DAY_MS) * DAY_MS
 
-    new_payloads, nbits = encode_partition(starts, counts, g_bts, ts, bits, None)
+    new_payloads, nbits = encode_partition(starts, counts, g_bts, ts, bits,
+                                           predictor)
 
     is_double = kind_arr == "double"
     vals = np.where(np.repeat(is_double, counts),
@@ -158,10 +164,13 @@ def _compact_pdf(pdf, drop_range=None):
 
 def compact_blocks(blocks: DataFrame,
                    shuffle_partitions: int | None = None,
-                   drop_range: tuple[int, int] | None = None) -> DataFrame:
-    """gorilla_blocks (any mix of day/auto/streaming blocks, default
-    codec) → compacted span-auto blocks, one shuffle keyed
-    (conv_id, channel).
+                   drop_range: tuple[int, int] | None = None,
+                   predictor: str | None = None) -> DataFrame:
+    """gorilla_blocks (any mix of day/auto/streaming blocks) →
+    compacted span-auto blocks, one shuffle keyed (conv_id, channel).
+    ``predictor`` must match the store's encode-time predictor (as for
+    decode_blocks/audit) — decoding a DFCM store as last_value would
+    silently rewrite garbage.
 
     At warehouse scale this runs as a maintenance job over one
     partition of the block store at a time (e.g. per conv_id bucket);
@@ -180,7 +189,8 @@ def compact_blocks(blocks: DataFrame,
                 .repartition(n, "conv_id", "channel")
                 .sortWithinPartitions("conv_id", "channel", "first_ts", "seq"))
     return arranged.mapInPandas(
-        lambda it: _compact_iter(it, drop_range), schema=BLOCKS_SCHEMA)
+        lambda it: _compact_iter(it, drop_range, predictor),
+        schema=BLOCKS_SCHEMA)
 
 
 def promote_stream_blocks(sealed: DataFrame, kind: str = "double") -> DataFrame:

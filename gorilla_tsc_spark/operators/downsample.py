@@ -102,14 +102,18 @@ def m4(points: DataFrame, bucket_ms: int, key: str = "series",
     max → latest), pinned by the tests.
     """
     t, v = F.col(ts_col), F.col(v_col)
-    bucket = ((t / bucket_ms).cast("long") * bucket_ms).alias("bucket")
+    # floor (not cast-trunc) so negative timestamps bucket like every
+    # tier; field aliases so the struct tie-break works for ANY ts/v
+    # column names, not just the defaults
+    bucket = (F.floor(t / bucket_ms) * bucket_ms).cast("long").alias("bucket")
+    vt = F.struct(v.alias("v"), t.alias("t"))
     return (points.groupBy(F.col(key).alias("series"), bucket)
             .agg(F.min(v).alias("v_min"),
                  F.max(v).alias("v_max"),
                  F.min_by(v, t).alias("v_first"),
                  F.max_by(v, t).alias("v_last"),
-                 F.min(F.struct(v, t)).t.alias("t_min"),
-                 F.max(F.struct(v, t)).t.alias("t_max"),
+                 F.min(vt).t.alias("t_min"),
+                 F.max(vt).t.alias("t_max"),
                  F.min(t).alias("t_first"),
                  F.max(t).alias("t_last"),
                  F.count(F.lit(1)).alias("n")))

@@ -45,7 +45,10 @@ def _ids_df(df: DataFrame, conv_ids) -> DataFrame:
     if isinstance(conv_ids, DataFrame):
         return conv_ids.select("conv_id").distinct()
     spark = df.sparkSession
-    return spark.createDataFrame([(c,) for c in conv_ids], ["conv_id"])
+    # explicit schema: an empty purge set must be a clean no-op, not a
+    # schema-inference crash
+    return spark.createDataFrame([(c,) for c in conv_ids],
+                                 "conv_id string")
 
 
 def purge_conversations(df: DataFrame, conv_ids) -> DataFrame:
@@ -60,7 +63,8 @@ def purge_conversations(df: DataFrame, conv_ids) -> DataFrame:
 
 
 def purge_range(blocks: DataFrame, conv_ids, t0_ms: int, t1_ms: int,
-                shuffle_partitions: int | None = None) -> DataFrame:
+                shuffle_partitions: int | None = None,
+                predictor: str | None = None) -> DataFrame:
     """Remove points with t0 <= ts < t1 from the given conversations'
     blocks; every other block passes through byte-identical.
 
@@ -88,12 +92,14 @@ def purge_range(blocks: DataFrame, conv_ids, t0_ms: int, t1_ms: int,
     missed = matched.join(F.broadcast(hit), "conv_id", "left_anti")
     rewritten = compact_blocks(
         matched.join(F.broadcast(hit), "conv_id", "left_semi"),
-        shuffle_partitions, drop_range=(t0_ms, t1_ms))
+        shuffle_partitions, drop_range=(t0_ms, t1_ms), predictor=predictor)
     return untouched.unionByName(missed).unionByName(rewritten)
 
 
 def patch_tier_after_range_purge(tier: DataFrame, purged_blocks: DataFrame,
-                                 conv_ids, bucket_ms: int) -> DataFrame:
+                                 conv_ids, bucket_ms: int,
+                                 predictor: str | None = None,
+                                 channels=None) -> DataFrame:
     """Bring a rollup tier in line with a range-purged block store.
 
     Whole-conversation purges compose with tiers directly (the same
@@ -118,7 +124,9 @@ def patch_tier_after_range_purge(tier: DataFrame, purged_blocks: DataFrame,
     keep = tier.join(F.broadcast(ids), "conv_id", "left_anti")
     matched_blocks = purged_blocks.join(F.broadcast(ids), "conv_id",
                                         "left_semi")
-    points = decode_blocks(matched_blocks).where(
-        F.col("channel").isin(agg_channel_names()))
+    # channels/predictor must match the pipeline that built the tier,
+    # or custom aggregated channels would be dropped but not recomputed
+    points = decode_blocks(matched_blocks, predictor).where(
+        F.col("channel").isin(agg_channel_names(channels)))
     recomputed = rollup_points(points, bucket_ms, block_value_column())
     return keep.unionByName(recomputed.select(*keep.columns))

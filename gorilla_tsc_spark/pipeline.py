@@ -109,8 +109,11 @@ def run_pipeline(
     write_tier(filled, warehouse, "rollup_1m_filled", mode="overwrite")
     log.log_rows([{"stage": "gapfill", "part_key": "1m"}])
 
-    # stage R: retention expiry (deterministic 'now' = max data ts)
+    # stage R: retention expiry (deterministic 'now' = max data ts);
+    # an empty store has no 'now' and nothing to expire
     now_ms = written.agg(F.max("last_ts")).first()[0]
+    if now_ms is None:
+        now_ms = 0
     for tier_name, keep in (("rollup_1m", policy.keep_1m_days),
                             ("rollup_1h", policy.keep_1h_days),
                             ("rollup_1d", policy.keep_1d_days)):
@@ -130,7 +133,8 @@ def run_pipeline(
 
 
 def register_views(spark: SparkSession, warehouse: str,
-                   prefix: str = "gorilla_") -> list[str]:
+                   prefix: str = "gorilla_",
+                   predictor: str | None = None) -> list[str]:
     """Expose the warehouse to plain ``spark.sql`` users.
 
     Registers temp views over every tier table present plus a lazily
@@ -157,7 +161,10 @@ def register_views(spark: SparkSession, warehouse: str,
     blocks = read_blocks(spark, warehouse)
     blocks.createOrReplaceTempView(f"{prefix}blocks")
     names.append(f"{prefix}blocks")
-    decode_blocks(blocks).createOrReplaceTempView(f"{prefix}points")
+    # predictor must match the store's encode-time predictor — the
+    # points view would otherwise serve silently mis-decoded values
+    decode_blocks(blocks, predictor).createOrReplaceTempView(
+        f"{prefix}points")
     names.append(f"{prefix}points")
     for tier in ("rollup_1m", "rollup_1h", "rollup_1d", "rollup_1m_filled",
                  "checkpoints"):

@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--conv-ids", default=None,
                     help="comma-separated conv_id allowlist")
     ap.add_argument("--channel", default=None)
+    ap.add_argument("--predictor", default=None,
+                    help="store's encode-time predictor (e.g. dfcm1024); "
+                         "must match or the decode is silently wrong")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -51,13 +54,15 @@ def main() -> None:
         blocks = blocks.where(F.col("channel") == args.channel)
     conv_ids = None
     if args.conv_ids:
-        conv_ids = spark.createDataFrame(
-            [(c,) for c in args.conv_ids.split(",")], ["conv_id"])
+        ids = [c.strip() for c in args.conv_ids.split(",") if c.strip()]
+        conv_ids = spark.createDataFrame([(c,) for c in ids],
+                                         "conv_id string")
 
     n_blocks = blocks.count()
     overlapping = blocks.where((F.col("last_ts") >= args.t0_ms)
                                & (F.col("first_ts") < args.t1_ms)).count()
-    pts = read_range(blocks, args.t0_ms, args.t1_ms, conv_ids=conv_ids)
+    pts = read_range(blocks, args.t0_ms, args.t1_ms, conv_ids=conv_ids,
+                     predictor=args.predictor)
     pts.write.mode("overwrite").parquet(args.out)
     n_pts = spark.read.parquet(args.out).count()
 

@@ -40,6 +40,10 @@ def main() -> None:
                          "(whole-conversation mode patches tiers by "
                          "the same anti-join; range mode recomputes "
                          "matched conversations from surviving blocks)")
+    ap.add_argument("--predictor", default=None,
+                    help="store's encode-time predictor (e.g. dfcm1024); "
+                         "a range purge re-encodes matched blocks and "
+                         "must decode them correctly first")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
     if (args.t0_ms is None) != (args.t1_ms is None):
@@ -62,7 +66,8 @@ def main() -> None:
     if args.t0_ms is None:
         survived = purge_conversations(blocks, conv_ids)
     else:
-        survived = purge_range(blocks, conv_ids, args.t0_ms, args.t1_ms)
+        survived = purge_range(blocks, conv_ids, args.t0_ms, args.t1_ms,
+                               predictor=args.predictor)
     out_path = f"{args.warehouse}/gorilla_blocks_purged"
     survived.write.mode("overwrite").parquet(out_path)
     out = spark.read.parquet(out_path)
@@ -80,7 +85,8 @@ def main() -> None:
             t1m = purge_conversations(t1m, conv_ids)
         else:
             t1m = patch_tier_after_range_purge(t1m, out, conv_ids,
-                                               TIER_MS["1m"])
+                                               TIER_MS["1m"],
+                                               predictor=args.predictor)
         write_tier(t1m, args.warehouse, "rollup_1m_purged",
                    mode="overwrite")
         t1m = read_tier(spark, args.warehouse, "rollup_1m_purged")
@@ -92,6 +98,17 @@ def main() -> None:
             write_tier(t, args.warehouse, f"{name}_purged",
                        mode="overwrite")
             t = read_tier(spark, args.warehouse, f"{name}_purged")
+        # the gap-filled SERVING tier also contains (and LOCF-smears)
+        # the purged data — rebuild it from the patched 1m tier, or a
+        # compliance delete would keep serving deleted values
+        try:
+            from gorilla_tsc_spark.operators.gapfill import gapfill
+            from gorilla_tsc_spark.operators.rollup import with_mean
+            filled = gapfill(with_mean(t1m), TIER_MS["1m"], how="locf")
+            write_tier(filled, args.warehouse, "rollup_1m_filled_purged",
+                       mode="overwrite")
+        except Exception:
+            pass  # warehouse without a filled tier
         tier_rows = {"tier_1m_rows": t1m.count()}
 
     def acct(df):

@@ -130,3 +130,39 @@ def test_promote_stream_blocks_then_compact(spark):
     compacted = compact_blocks(promoted)
     assert _point_set(compacted) == _point_set(blocks)
     assert compacted.count() < blocks.count()
+
+
+def test_compact_and_purge_dfcm_store(spark):
+    """Compaction and range purge of a DFCM-encoded store must decode
+    with the store's predictor: point identity preserved (this used to
+    silently decode DFCM payloads as last_value and rewrite garbage)."""
+    from pyspark.sql import functions as F
+
+    from gorilla_tsc_spark.operators.compact import compact_blocks
+    from gorilla_tsc_spark.operators.encode import decode_blocks, encode_blocks
+    from gorilla_tsc_spark.operators.purge import purge_range
+    from gorilla_tsc_spark.queries import _transcripts
+
+    PRED = "dfcm1024"
+    t = _transcripts(spark, "/root/testdata/sf0.001")
+    blocks = encode_blocks(t, predictor=PRED).cache()
+
+    def pset(b):
+        return {tuple(r) for r in decode_blocks(b, PRED)
+                .select("conv_id", "channel", "ts_ms", "v_double", "v_long")
+                .collect()}
+
+    want = pset(blocks)
+    compacted = compact_blocks(blocks, predictor=PRED)
+    assert pset(compacted) == want
+
+    lo = blocks.agg(F.min("first_ts")).first()[0]
+    t0 = (lo // 86_400_000 + 1) * 86_400_000
+    victims = [r[0] for r in blocks.select("conv_id").distinct()
+               .orderBy("conv_id").limit(2).collect()]
+    purged = purge_range(blocks, victims, t0, t0 + 86_400_000,
+                         predictor=PRED)
+    want_purged = {r for r in want
+                   if not (r[0] in victims and t0 <= r[2] < t0 + 86_400_000)}
+    assert pset(purged) == want_purged
+    blocks.unpersist()

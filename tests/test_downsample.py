@@ -60,3 +60,22 @@ def test_m4_vs_numpy(spark):
         # tie policy: min -> earliest occurrence, max -> latest
         assert r["t_min"] == min(t for t, v in pts if v == min(vs))
         assert r["t_max"] == max(t for t, v in pts if v == max(vs))
+
+
+def test_m4_custom_column_names_and_negative_ts(spark):
+    """m4 must work with non-default column names (the struct
+    tie-break used to hardcode field .t) and floor-bucket negative
+    timestamps like every tier."""
+    from gorilla_tsc_spark.operators.downsample import m4
+
+    df = spark.createDataFrame(
+        [("s", -1, 5.0), ("s", -60_000, 3.0), ("s", 10, 7.0)],
+        "conv_id string, ts_ms long, v_double double")
+    rows = {r["bucket"]: r for r in
+            m4(df, 60_000, key="conv_id", ts_col="ts_ms",
+               v_col="v_double").collect()}
+    assert set(rows) == {-60_000, 0}  # floor, not trunc-to-zero
+    assert rows[-60_000]["n"] == 2
+    assert rows[-60_000]["v_min"] == 3.0 and rows[-60_000]["v_max"] == 5.0
+    assert rows[-60_000]["t_min"] == -60_000 and rows[-60_000]["t_max"] == -1
+    assert rows[0]["v_first"] == rows[0]["v_last"] == 7.0
