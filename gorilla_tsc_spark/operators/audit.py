@@ -110,6 +110,7 @@ def _audit_iter(pdf_iter, predictor: str | None = None):
 
         kinds = pdf["kind"].to_numpy()
         a_cnt = pdf["agg_cnt"].to_numpy()
+        a_null = pdf["agg_is_null"].to_numpy(bool)
         a_min = pdf["agg_min"].to_numpy()
         a_max = pdf["agg_max"].to_numpy()
         a_sum = pdf["agg_sum"].to_numpy()
@@ -121,21 +122,31 @@ def _audit_iter(pdf_iter, predictor: str | None = None):
                             and (len(ts) == 0
                                  or (int(ts[0]) == first[i]
                                      and int(ts[-1]) == last[i])))
-            if pd.isna(a_min[i]):     # streaming seal pre-compaction
-                ok_aggs[i] = True     # (promote_stream_blocks leaves
-                continue              # min/max/sum NULL by design)
+            if a_null[i]:             # streaming seal pre-compaction
+                # (promote_stream_blocks leaves min/max/sum SQL-NULL by
+                # design; a genuine NaN aggregate is NOT exempt — the
+                # JVM-side agg_is_null flag distinguishes them, since
+                # Arrow renders both as NaN here).  Counts must still
+                # be consistent even on a sealed-not-compacted block.
+                ok_aggs[i] = int(a_cnt[i]) == len(ts)
+                continue
             vals = (vb.view(np.float64) if kinds[i] == "double"
                     else vb.view(np.int64).astype(np.float64))
             # sequential fold (np.add.reduceat), the same summation
             # order every encode kernel uses — ndarray.sum's pairwise
             # algorithm differs in the last ulp on 2^63-magnitude data
+            def _feq(x, y):
+                # NaN aggregates of NaN data are valid; NaN != NaN
+                # would false-flag them
+                return bool(x == y or (np.isnan(x) and np.isnan(y)))
+
             ok_aggs[i] = bool(
                 len(vals)
                 and int(a_cnt[i]) == len(vals)
-                and np.float64(a_min[i]) == vals.min()
-                and np.float64(a_max[i]) == vals.max()
-                and np.float64(a_sum[i])
-                == np.add.reduceat(vals, [0])[0])
+                and _feq(np.float64(a_min[i]), vals.min())
+                and _feq(np.float64(a_max[i]), vals.max())
+                and _feq(np.float64(a_sum[i]),
+                         np.add.reduceat(vals, [0])[0]))
 
         yield pd.DataFrame({
             "conv_id": pdf["conv_id"].to_numpy(),
@@ -146,7 +157,8 @@ def _audit_iter(pdf_iter, predictor: str | None = None):
                                np.int64) == pdf["crc"].to_numpy(np.int64),
             "ok_len": np.array([len(p) for p in payloads], np.int64)
             == np.ceil(pdf["n_bits"].to_numpy(np.int64) / 8.0).astype(np.int64),
-            "ok_span": (first <= last) & (expected > 0),
+            "ok_span": ((first <= last) & (expected > 0)
+                        & (a_cnt.astype(np.int64) == expected)),
             "ok_decode": ok_decode,
             "ok_aggs": ok_aggs,
         })
@@ -166,8 +178,14 @@ def audit_blocks(blocks: DataFrame, sample_pct: float = 100.0,
     cols = ["conv_id", "channel", "kind", "block_start", "seq", "n_points",
             "n_bits", "payload", "first_ts", "last_ts", "agg_cnt",
             "agg_min", "agg_max", "agg_sum", "crc"]
-    return df.select(*cols).mapInPandas(
-        lambda it: _audit_iter(it, predictor), schema=AUDIT_SCHEMA)
+    # SQL NULL vs genuine NaN must be distinguished JVM-side: Arrow
+    # renders both as NaN in a float64 pandas column, and the kernel's
+    # streaming-seal exemption keys on NULLness — a real NaN aggregate
+    # (NaN data values) must still be recomputed and checked
+    return (df.select(*cols,
+                      F.isnull("agg_min").alias("agg_is_null"))
+            .mapInPandas(lambda it: _audit_iter(it, predictor),
+                         schema=AUDIT_SCHEMA))
 
 
 def audit_summary(audit: DataFrame) -> DataFrame:

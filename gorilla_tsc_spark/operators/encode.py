@@ -192,12 +192,32 @@ def _make_batch_kernel(channels: list[Channel]):
     cols = [f.name for f in BLOCKS_SCHEMA.fields]
 
     def kernel(pdf_iter):
-        chunks = list(pdf_iter)
-        if not chunks:
-            return
-        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-        if not len(pdf):
-            return
+        # stream Arrow batches with a carry for the boundary run (same
+        # pattern as compact._compact_iter): only the final (conv, day,
+        # seq) run of each batch is held back, so a multi-GB partition
+        # never materializes in one pandas frame
+        carry = None
+        for pdf in pdf_iter:
+            if carry is not None:
+                pdf = pd.concat((carry, pdf), ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            conv = pdf["conv_id"].to_numpy()
+            day_a = pdf["day"].to_numpy()
+            seq_a = pdf["seq"].to_numpy()
+            last = ((conv == conv[-1]) & (day_a == day_a[-1])
+                    & (seq_a == seq_a[-1]))
+            tail0 = len(pdf) - int(last[::-1].argmin()) \
+                if not last.all() else 0
+            carry = pdf.iloc[tail0:].reset_index(drop=True)
+            head = pdf.iloc[:tail0]
+            if len(head):
+                yield _encode_pdf(head)
+        if carry is not None and len(carry):
+            yield _encode_pdf(carry)
+
+    def _encode_pdf(pdf):
         conv_codes, conv_uniques = pd.factorize(pdf["conv_id"])
         day = pdf["day"].to_numpy(np.int64)
         seq = pdf["seq"].to_numpy(np.int64)
@@ -213,6 +233,13 @@ def _make_batch_kernel(channels: list[Channel]):
             raise ValueError(
                 f"{len(conv_uniques)} conversations in one partition "
                 f"overflows the 24-bit run-key slot; repartition finer")
+        if seq.min() < 0 or seq.max() >= 1 << 16:
+            # seq = turn_idx // points_per_block; a small caller-chosen
+            # block size with large turn_idx would bleed into the day
+            # bit-field and silently merge blocks across days
+            raise ValueError(
+                f"seq out of range [0, 65536): [{seq.min()}, {seq.max()}]"
+                f" — raise points_per_block (seq = turn_idx // ppb)")
         key = (conv_codes.astype(np.int64) << 40) | (day << 16) | seq
         starts, counts = group_runs(key)
         ts = pdf["ts_ms"].to_numpy(np.int64)
@@ -221,7 +248,6 @@ def _make_batch_kernel(channels: list[Channel]):
         g_seq = seq[starts].astype(np.int32)
         g_first = ts[starts]
         g_last = ts[starts + counts - 1]
-        ends = np.concatenate((starts[1:], [len(ts)]))
         frames = []
         for name, kind in chans:
             col = pdf[f"ch_{name}"].to_numpy()
@@ -251,7 +277,7 @@ def _make_batch_kernel(channels: list[Channel]):
                 **_none_day_cols(G_blocks=len(starts)),
                 "crc": [_zlib.crc32(p) for p in payloads],
             }, columns=cols))
-        yield pd.concat(frames) if len(frames) > 1 else frames[0]
+        return pd.concat(frames) if len(frames) > 1 else frames[0]
 
     return kernel
 

@@ -70,13 +70,19 @@ def read_range(blocks: DataFrame, t0_ms: int, t1_ms: int,
 
 def serve_union(t1m: DataFrame, t1h: DataFrame, t1d: DataFrame,
                 now_ms: int, policy: RetentionPolicy = RetentionPolicy()) -> DataFrame:
-    """Best-available-resolution view across the retention cascade."""
+    """Best-available-resolution view across the retention cascade.
+
+    Every horizon of the policy applies — including keep_1d_days, so
+    the view never serves buckets the policy has expired even when the
+    separate expiry job hasn't swept the 1d table yet.
+    """
     c1m = cutoff_ms(now_ms, policy.keep_1m_days)
     c1h = cutoff_ms(now_ms, policy.keep_1h_days)
+    c1d = cutoff_ms(now_ms, policy.keep_1d_days)
     parts = [
         t1m.where(F.col("bucket") >= c1m).withColumn("tier", F.lit("1m")),
         t1h.where((F.col("bucket") >= c1h) & (F.col("bucket") < c1m)).withColumn("tier", F.lit("1h")),
-        t1d.where(F.col("bucket") < c1h).withColumn("tier", F.lit("1d")),
+        t1d.where((F.col("bucket") >= c1d) & (F.col("bucket") < c1h)).withColumn("tier", F.lit("1d")),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -62,11 +62,25 @@ def with_mean(tier: DataFrame) -> DataFrame:
     return tier.withColumn("vmean", F.col("vsum") / F.col("cnt"))
 
 
+def _finalized(blocks: DataFrame) -> DataFrame:
+    """Blocks with materialized aggregates.  Streaming-sealed blocks
+    promoted by compact.promote_stream_blocks carry NULL agg_min/max/
+    sum (only counts); including them would produce a tier whose cnt
+    counts their points while vmin/vmax/vsum silently exclude them
+    (F.sum/min skip nulls).  Excluding them keeps every column of the
+    tier consistent — those points join the tier when the compaction
+    sweep finalizes their blocks."""
+    return blocks.where(F.col("agg_min").isNotNull()
+                        | (F.col("agg_cnt") == 0))
+
+
 def rollup_from_day_subaggs(blocks: DataFrame) -> DataFrame:
     """Day tier from the per-day sub-aggregate arrays on block rows —
     zero decode, valid for ANY span (the archival span='auto' profile's
     day-tier path: multi-day blocks carry one array entry per UTC day
-    touched, written by the encode kernels)."""
+    touched, written by the encode kernels).  Covers FINALIZED blocks
+    only (see _finalized)."""
+    blocks = _finalized(blocks)
     z = blocks.select(
         "conv_id", "channel",
         F.explode(F.arrays_zip(
@@ -96,9 +110,11 @@ def rollup_from_block_meta(blocks: DataFrame) -> DataFrame:
 
     Valid because blocks are aligned to UTC days (operators/encode.py):
     per (conv, channel, day) the block pre-aggregates recombine exactly.
+    Covers FINALIZED blocks only (see _finalized).
     """
     return (
-        blocks.groupBy("conv_id", "channel", F.col("block_start").alias("bucket"))
+        _finalized(blocks)
+        .groupBy("conv_id", "channel", F.col("block_start").alias("bucket"))
         .agg(
             F.sum("agg_cnt").alias("cnt"),
             F.min("agg_min").alias("vmin"),

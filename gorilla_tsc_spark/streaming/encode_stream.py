@@ -43,8 +43,13 @@ STREAM_BLOCKS_SCHEMA = T.StructType([
 
 # state: buffered raw points for one (conv_id, day); turn_idx rides
 # along so sealing orders by (turn_idx, ts) exactly like the batch
-# encoder — without it, equal-timestamp points would seal in arrival
-# order and the payload would differ across restarts/retries
+# encoder — each sealed payload is deterministic GIVEN its member set.
+# Scope of the determinism claim: the processing-time sealer
+# (make_encode_state_fn) chunks by COUNT, so block MEMBERSHIP depends
+# on arrival batching (buffer is sorted before slicing, so membership
+# is deterministic when data arrives in turn order, the normal case);
+# the event-time sealer (make_eventtime_state_fn) is the
+# batch-equivalent deterministic policy.
 STATE_SCHEMA = T.StructType([
     T.StructField("ts", T.ArrayType(T.LongType())),
     T.StructField("vbits", T.ArrayType(T.LongType())),
@@ -98,6 +103,15 @@ def make_encode_state_fn(points_per_block: int = 65_536,
                         .view(np.int64).tolist())
             tn_l.extend(pdf["turn_idx"].astype("int64").tolist())
         rows = []
+        if len(ts_l) >= points_per_block:
+            # sort the WHOLE buffer by the batch keys before slicing,
+            # so chunk membership follows (turn, ts) order rather than
+            # raw arrival order across microbatches
+            order = np.lexsort((np.array(ts_l, np.int64),
+                                np.array(tn_l, np.int64)))
+            ts_l = [ts_l[i] for i in order]
+            vb_l = [vb_l[i] for i in order]
+            tn_l = [tn_l[i] for i in order]
         while len(ts_l) >= points_per_block:
             chunk_ts = np.array(ts_l[:points_per_block], np.int64)
             chunk_vb = np.array(vb_l[:points_per_block], np.int64)
