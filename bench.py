@@ -1,10 +1,18 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line as the FINAL stdout line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
-   "encode_turns_per_sec": ..., "bytes_per_point": ...}
+   "encode_turns_per_sec": ..., "bytes_per_point": ...,
+   "vs_r3": {name: cur/prev ratio, ...}, "detail": <path>}
+
+The driver captures only the LAST ~2000 bytes of output, so the core
+line is budget-enforced (< ~1900 bytes: progressive field drops, never
+truncation mid-object — round 3's lesson, where one ever-growing line
+outgrew the capture window and the round lost its perf record).  The
+full record (noise spreads, serve/audit/compaction counters, unrounded
+timings) goes to BENCH/DETAIL_r{N}.json instead.
 
 The headline job is the north-rule pipeline slice: transcripts →
 Gorilla blocks (3 channels) → day-tier rollup from block metadata,
@@ -239,7 +247,24 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     enc_sec = timings["encode_rollup"]
-    out = {
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(here, "BENCH", "DETAIL_r4.json"))
+
+    # prior-round timings (recovered/maintained in BENCH/PREV.json) →
+    # like-for-like ratio map; keys are stable from r4 on
+    prev_q: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "BENCH", "PREV.json")) as fh:
+            prev_q = json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        pass
+    vs_r3 = {k: round(v / prev_q[k], 2)
+             for k, v in timings.items()
+             if k in prev_q and prev_q[k] > 0}
+
+    detail = {
         "metric": "gorilla encode+rollup + engine query suite wall time",
         "value": total,
         "unit": "sec",
@@ -265,9 +290,40 @@ def main() -> None:
         "cores": cores,
         "bench_reps": reps,
         "noise_spread": spreads,
+        "vs_r3": vs_r3,
     }
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as e:
+        print(f"warning: could not write detail file {detail_path}: {e}",
+              file=sys.stderr)
+
+    core = {
+        "metric": detail["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": detail["sf"],
+        "n_turns": n_turns,
+        "encode_turns_per_sec": detail["encode_turns_per_sec"],
+        "bytes_per_point": detail["bytes_per_point"],
+        "bytes_per_point_span_auto": detail["bytes_per_point_span_auto"],
+        "cores": cores,
+        "bench_reps": reps,
+        "vs_r3": vs_r3,
+        "detail": os.path.relpath(detail_path, here),
+    }
+    # hard budget: the driver's tail capture is ~2000 bytes and parses
+    # only the final line — drop fields (never truncate) until it fits
+    for drop in ("vs_r3", "queries", "n_turns"):
+        if len(json.dumps(core)) <= 1900:
+            break
+        core.pop(drop, None)
+
     spark.stop()
-    print(json.dumps(out))
+    print(json.dumps(core))
 
 
 if __name__ == "__main__":
