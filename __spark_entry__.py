@@ -12,7 +12,14 @@ oracled via point identities, the lossy trio via per-series coverage +
 ε-bound audits, block accounting via SQL-derived block/point counts,
 multimodal via hex-nibble byte reconstruction, streaming (rollup AND
 the event-time block encoder) via batch replay against batch oracles,
-checkpoint resume via the zero-pending-groups contract.
+checkpoint resume via the zero-pending-groups contract.  Round 4
+driver-gates the maintenance/serve surface: compaction (decode
+identity + shrinkage), range purge + tier patch (survivor rollup
+truth), integrity audit (clean-store counters vs SQL block counts),
+range join (DuckDB inequality-join truth), M4 (deterministic
+per-bucket extremes), anomaly z-score (window SQL, 6dp-rounded z),
+decontamination (raw-gram overlap truth) and duplicate-cluster
+connected components (recursive-CTE transitive closure).
 """
 
 from __future__ import annotations

@@ -228,22 +228,54 @@ def main() -> None:
 
     run("range_join_points_to_hours", range_join_bench)
 
-    bench_queries = [
-        "rollup_1m", "rollup_cascade", "rollup_1d_from_blocks",
-        "rollup_1d_from_auto_blocks", "rollup_from_decoded",
-        "codec_roundtrip_2ch", "skew_salted_rollup",
-        "gapfill_1h_multi", "retention_tiers", "asof_tier", "sessionize",
-        "pricing_summary", "top_orders", "events_top3",
-        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "simhash", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-        "embedding_dup_pairs",
-        "textstats_all",
-        "pii_scan", "pack_bins", "curation_funnel",
-        "multimodal_features",
-    ]
-    qs = Q.build_queries()
-    for name in bench_queries:
-        run(name, lambda fn=qs[name]: fn(spark, sf_dir).count())
+    from gorilla_tsc_spark.operators.downsample import m4
+
+    t1m_b = rollup_points(t_pts, MINUTE_MS, F.col("v"),
+                          keys=("conv_id",)).localCheckpoint()
+
+    def m4_bench():
+        pts_m4 = t1m_b.select(F.col("conv_id").alias("series"),
+                              F.col("bucket").alias("t"),
+                              F.col("vsum").alias("v"))
+        stats["m4_rows"] = m4(pts_m4, HOUR_MS).count()
+
+    run("m4_downsample", m4_bench)
+
+    # keys are pinned to the r3 names and bound straight to the query
+    # functions (NOT the registry, whose r4 consolidation merged some
+    # entries) so the vs-prev-round ratio map stays like-for-like.
+    # textstats_all gained the pii columns in r4 (documented delta).
+    bench_queries = {
+        "rollup_1m": Q.q_rollup_1m,
+        "rollup_cascade": Q.q_rollup_cascade,
+        "rollup_1d_from_blocks": Q.q_rollup_1d_from_blocks,
+        "rollup_1d_from_auto_blocks": Q.q_rollup_1d_from_auto_blocks,
+        "rollup_from_decoded": Q.q_rollup_from_decoded,
+        "codec_roundtrip_2ch": Q.q_codec_roundtrip_2ch,
+        "skew_salted_rollup": Q.q_skew_salted_rollup,
+        "gapfill_1h_multi": Q.q_gapfill_1h_multi,
+        "retention_tiers": Q.q_retention_tiers,
+        "asof_tier": Q.q_asof_tier,
+        "sessionize": Q.q_sessionize,
+        "pricing_summary": Q.q_pricing_summary,
+        "top_orders": Q.q_top_orders,
+        "events_top3": Q.q_events_top3,
+        "dedup_exact": Q.q_dedup_exact,
+        "dedup_ngram_jaccard": Q.q_dedup_jaccard,
+        "dedup_minhash_lsh": Q.q_dedup_lsh,
+        "simhash": Q.q_simhash,
+        "ann_cosine_topk": Q.q_ann_cosine,
+        "ann_lsh_topk": Q.q_ann_lsh,
+        "ann_ivf_topk": Q.q_ann_ivf,
+        "embedding_dup_pairs": Q.q_embedding_dups,
+        "textstats_all": Q.q_textstats_all,
+        "pii_scan": Q.q_pii_scan,
+        "pack_bins": Q.q_pack_bins,
+        "curation_funnel": Q.q_curation_funnel,
+        "multimodal_features": Q.q_multimodal_features,
+    }
+    for name, qfn in bench_queries.items():
+        run(name, lambda fn=qfn: fn(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     enc_sec = timings["encode_rollup"]

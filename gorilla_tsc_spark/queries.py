@@ -395,6 +395,107 @@ GROUP BY c_mktsegment
 """
 
 
+def q_events_relational(spark, sf_dir):
+    """Grouping-sets AND set-operation coverage in one driver row
+    (round-4 registry consolidation): the grouping-sets rollup rows
+    tagged part='gs' beside the EXCEPT/INTERSECT user list tagged
+    part='setops' (padded with typed nulls)."""
+    gs = q_events_grouping_sets(spark, sf_dir).withColumn("part", F.lit("gs"))
+    so = q_events_setops(spark, sf_dir).withColumn("part", F.lit("setops"))
+    for f in gs.schema.fields:
+        if f.name not in so.columns:
+            so = so.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return gs.unionByName(so.select(*gs.columns))
+
+
+EVENTS_RELATIONAL_SQL = f"""
+SELECT user_id, event_type, cnt, sum_mils, g_user, g_type, 'gs' AS part
+FROM ({EVENTS_GROUPING_SQL})
+UNION ALL
+SELECT user_id, NULL, NULL, NULL, NULL, NULL, 'setops'
+FROM ({EVENTS_SETOPS_SQL})
+"""
+
+
+def q_orders_semi_anti(spark, sf_dir):
+    """Semi-join (EXISTS) and anti-join (NOT EXISTS) coverage in one
+    driver row (round-4 consolidation): TPC-H Q4-shaped priority counts
+    tagged part='semi' beside Q22-flavor no-big-order customer counts
+    tagged part='anti'."""
+    semi = q_orders_exists_semi(spark, sf_dir).select(
+        F.lit("semi").alias("part"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("order_count").alias("n"),
+        F.lit(None).cast("long").alias("cents"))
+    anti = q_cust_no_orders_anti(spark, sf_dir).select(
+        F.lit("anti").alias("part"),
+        F.col("c_mktsegment").alias("grp"),
+        F.col("n_cust").alias("n"),
+        F.col("acctbal_cents").alias("cents"))
+    return semi.unionByName(anti)
+
+
+ORDERS_SEMI_ANTI_SQL = f"""
+SELECT 'semi' AS part, o_orderpriority AS grp, order_count AS n,
+       CAST(NULL AS BIGINT) AS cents
+FROM ({ORDERS_EXISTS_SQL})
+UNION ALL
+SELECT 'anti', c_mktsegment, n_cust, acctbal_cents
+FROM ({CUST_NO_ORDERS_SQL})
+"""
+
+
+def q_gapfill_tiers(spark, sf_dir):
+    """Both gap-fill policies in one driver row (round-4
+    consolidation): the 1h LOCF+linear multi-fill (grain='1h') unioned
+    with the 1d null-policy fill (grain='1d'); columns absent from a
+    policy are nulls (unionByName allowMissingColumns)."""
+    g1h = q_gapfill_1h_multi(spark, sf_dir).withColumn("grain", F.lit("1h"))
+    g1d = q_gapfill_1d_null(spark, sf_dir).withColumn("grain", F.lit("1d"))
+    return g1h.unionByName(g1d, allowMissingColumns=True)
+
+
+def _gapfill_tiers_sql() -> str:
+    locf_cols = ", ".join(f"{c}_{suf}" for c in ("vmin", "vmax", "vsum")
+                          for suf in ("locf", "lin"))
+    null_cols = ", ".join(
+        f"CAST(NULL AS DOUBLE) AS {c}_{suf}" for c in ("vmin", "vmax", "vsum")
+        for suf in ("locf", "lin"))
+    return f"""
+SELECT conv_id, bucket, cnt, is_gap, {locf_cols},
+       CAST(NULL AS DOUBLE) AS vmin, CAST(NULL AS DOUBLE) AS vmax,
+       CAST(NULL AS DOUBLE) AS vsum, '1h' AS grain
+FROM ({_gapfill_locf_linear_sql(HOUR_MS)})
+UNION ALL
+SELECT conv_id, bucket, cnt, is_gap, {null_cols},
+       vmin, vmax, vsum, '1d'
+FROM ({_gapfill_null_sql(DAY_MS)})
+"""
+
+
+def q_tier_windows(spark, sf_dir):
+    """Percentile and window-frame coverage in one driver row (round-4
+    consolidation): exact p50/p90/p99 per conversation-day joined with
+    the 7-day moving average + day-over-day delta on the same
+    (conv_id, bucket) keys — both sides derive from the same day
+    buckets, so the inner join is total."""
+    p = q_tier_percentiles(spark, sf_dir)
+    m = q_tier_moving_avg(spark, sf_dir)
+    return p.join(m, ["conv_id", "bucket"])
+
+
+def q_rollup_1d_blocks_both(spark, sf_dir):
+    """Day tier from block metadata for BOTH block profiles in one
+    driver row (round-4 consolidation): day-aligned blocks' scalar
+    aggregates (span='day') beside span='auto' blocks' per-day
+    sub-aggregate arrays — both must equal the raw-point day rollup."""
+    day = (q_rollup_1d_from_blocks(spark, sf_dir)
+           .withColumn("span", F.lit("day")))
+    auto = (q_rollup_1d_from_auto_blocks(spark, sf_dir)
+            .withColumn("span", F.lit("auto")))
+    return day.unionByName(auto)
+
+
 def q_tier_moving_avg(spark, sf_dir):
     """Window-frame coverage over the engine's own day tier: 7-day
     moving average (ROWS frame) and day-over-day delta (LAG).  Exact
@@ -677,17 +778,27 @@ def _textstat_sql(cols_fn) -> str:
     return f"SELECT {cols} FROM documents"
 
 
-# the four text-analysis families gated as ONE wide projection (they
+# the five text-analysis families gated as ONE wide projection (they
 # are all narrow per-row codegen expressions over the same scan, so a
 # single query pins every column while freeing registry slots for the
-# ops that need their own driver rows)
+# ops that need their own driver rows); pii_scan_cols operates on the
+# raw text and takes no toks substitution
 _TEXTSTAT_FAMILIES = (textstats.lang_id_cols, textstats.quality_cols,
-                      textstats.token_count_cols, textstats.fingerprint_cols)
+                      textstats.token_count_cols, textstats.fingerprint_cols,
+                      textstats.pii_scan_cols)
+
+
+def _family_cols(fn, d: str, toks: str | None = None):
+    try:
+        return fn(d, toks=toks) if toks else fn(d)
+    except TypeError:  # family without a toks parameter (pii_scan_cols)
+        return fn(d)
 
 
 def q_textstats_all(spark, sf_dir):
-    """Language-ID + quality scoring + token counts + fingerprints in
-    one pass over documents (functions/textstats.py families).
+    """Language-ID + quality scoring + token counts + fingerprints +
+    PII surface counts in one pass over documents
+    (functions/textstats.py families).
 
     The token array is materialized ONCE as `_toks` in a producer
     projection; every downstream family references the column.  Spark's
@@ -699,7 +810,7 @@ def q_textstats_all(spark, sf_dir):
         F.expr(P.tokens("text", P.SPARK)).alias("_toks"))
     cols, seen = [], set()
     for fn in _TEXTSTAT_FAMILIES:
-        for name, sql in fn(P.SPARK, toks="_toks"):
+        for name, sql in _family_cols(fn, P.SPARK, toks="_toks"):
             if name not in seen:
                 seen.add(name)
                 cols.append(F.expr(sql).alias(name))
@@ -709,7 +820,7 @@ def q_textstats_all(spark, sf_dir):
 def _textstats_all_sql() -> str:
     parts, seen = [], set()
     for fn in _TEXTSTAT_FAMILIES:
-        for name, sql in fn(P.DUCK):
+        for name, sql in _family_cols(fn, P.DUCK):
             if name not in seen:
                 seen.add(name)
                 parts.append(f"{sql} AS {name}")
@@ -1135,15 +1246,265 @@ FROM events GROUP BY user_id
 """
 
 
+# ----------------------------- maintenance / serve gates (round 4)
+
+def q_compact_roundtrip(spark, sf_dir):
+    """Compaction under the driver: fragment the store
+    (points_per_block=64 → many small blocks, the streaming-seal /
+    sparse-day debris shape), compact to span-auto blocks
+    (operators/compact.py — one (conv_id, channel) shuffle + batch
+    native decode/re-encode), decode — must reproduce the raw points
+    exactly, and the sweep must actually shrink the store
+    (blocks_reduced)."""
+    from .operators.compact import compact_blocks
+    small = encode_blocks(_transcripts(spark, sf_dir), LEN_CHANNEL,
+                          points_per_block=64)
+    compacted = compact_blocks(small)
+    reduced = compacted.count() < small.count()
+    return (decode_blocks(compacted)
+            .select("conv_id", "ts_ms", F.col("v_double").alias("v"))
+            .withColumn("blocks_reduced", F.lit(bool(reduced))))
+
+
+def q_purge_patch_tier(spark, sf_dir):
+    """Targeted range purge + tier patch under the driver:
+    conversations whose id ends in '0' lose [t0, t0+1d) where t0 is the
+    second UTC day in the data (SQL-derivable, always inside the span).
+    The 1d tier patched from the purged store
+    (operators/purge.py purge_range → patch_tier_after_range_purge)
+    must equal the day rollup of the surviving points — one oracle
+    gates the copy-on-write rewrite AND the patch's decode-recompute."""
+    from .operators.purge import (patch_tier_after_range_purge,
+                                  purge_range)
+    t = _transcripts(spark, sf_dir)
+    blocks = encode_blocks(t, LEN_CHANNEL)
+    lo = t.agg(F.min(F.unix_millis("ts"))).first()[0]
+    t0 = (lo // DAY_MS + 1) * DAY_MS
+    victims = (blocks.select("conv_id")
+               .where(F.col("conv_id").endswith("0")).distinct())
+    purged = purge_range(blocks, victims, t0, t0 + DAY_MS)
+    tier = rollup_from_block_meta(blocks)
+    patched = patch_tier_after_range_purge(tier, purged, victims, DAY_MS,
+                                           channels=LEN_CHANNEL)
+    return (patched.where(F.col("channel") == "len")
+            .select("conv_id", "bucket", "cnt", "vmin", "vmax", "vsum"))
+
+
+PURGE_PATCH_SQL_BODY = f"""
+mx AS (SELECT (min(ts_ms) // {DAY_MS} + 1) * {DAY_MS} AS t0 FROM pts),
+f AS (SELECT conv_id, ts_ms, v FROM pts, mx
+      WHERE NOT (conv_id LIKE '%0'
+                 AND ts_ms >= t0 AND ts_ms < t0 + {DAY_MS}))
+SELECT conv_id, CAST(floor(ts_ms / {DAY_MS}) AS BIGINT) * {DAY_MS} AS bucket,
+       count(*) AS cnt, min(v) AS vmin, max(v) AS vmax, sum(v) AS vsum
+FROM f GROUP BY 1, 2
+"""
+
+
+def q_audit_clean(spark, sf_dir):
+    """Integrity audit under the driver: a freshly-encoded store must
+    audit fully clean — n_blocks equals the SQL-derived block count and
+    every defect counter is zero.  Any regression in crc/length/span
+    bookkeeping, the decode path, or the stored aggregates
+    (operators/audit.py recomputes them from decoded points,
+    bit-for-bit) flips a counter and reds the hash."""
+    from .operators.audit import audit_blocks, audit_summary
+    blocks = encode_blocks(_transcripts(spark, sf_dir), LEN_CHANNEL)
+    return audit_summary(audit_blocks(blocks))
+
+
+AUDIT_CLEAN_SQL_BODY = f"""
+g AS (SELECT DISTINCT conv_id,
+             CAST(floor(turn_idx / 65536) AS BIGINT) AS seq,
+             CAST(floor(epoch_ms(ts) / {DAY_MS}) AS BIGINT) AS day
+      FROM transcripts)
+SELECT count(*) AS n_blocks,
+       0 AS bad_crc, 0 AS bad_len, 0 AS bad_span,
+       0 AS bad_decode, 0 AS bad_aggs
+FROM g
+"""
+
+
+def q_range_join_hours(spark, sf_dir):
+    """Point-in-interval join under the driver: 'active window'
+    intervals [day+6h, day+18h) from the day tier, joined to the raw
+    points through the bucketized equijoin (operators/rangejoin.py —
+    interval explode → equijoin on (conv_id, bucket) → exact
+    containment; never NLJ/cartesian).  Oracle: DuckDB's native
+    inequality join — an independent implementation of the same
+    semantics."""
+    from .operators.rangejoin import range_join
+    pts = _len_points(spark, sf_dir)
+    t1d = rollup_points(pts, DAY_MS, F.col("v"), keys=("conv_id",))
+    iv = t1d.select("conv_id",
+                    (F.col("bucket") + 6 * HOUR_MS).alias("start_ms"),
+                    (F.col("bucket") + 18 * HOUR_MS).alias("end_ms"))
+    return range_join(pts, iv, HOUR_MS).select(
+        "conv_id", "ts_ms", "v", "start_ms", "end_ms")
+
+
+RANGE_JOIN_SQL_BODY = f"""
+iv AS (SELECT conv_id, bucket + {6 * HOUR_MS} AS start_ms,
+              bucket + {18 * HOUR_MS} AS end_ms FROM r1d)
+SELECT p.conv_id, p.ts_ms, p.v, iv.start_ms, iv.end_ms
+FROM pts p JOIN iv ON p.conv_id = iv.conv_id
+ AND p.ts_ms >= iv.start_ms AND p.ts_ms < iv.end_ms
+"""
+
+
+def q_m4_downsample(spark, sf_dir):
+    """M4 width-based downsample under the driver
+    (operators/downsample.py m4 — pure keyed aggregate, no Python),
+    over the engine's own 1m tier: bucket is unique per series, so
+    first/last/tied-extreme selection is fully deterministic on both
+    engines."""
+    from .operators.downsample import m4
+    t1m = rollup_points(_len_points(spark, sf_dir), MINUTE_MS, F.col("v"),
+                        keys=("conv_id",))
+    pts = t1m.select(F.col("conv_id").alias("series"),
+                     F.col("bucket").alias("t"),
+                     F.col("vsum").alias("v"))
+    return m4(pts, HOUR_MS)
+
+
+M4_SQL_BODY = f"""
+a AS (SELECT conv_id AS series,
+             CAST(floor(bucket / {HOUR_MS}) AS BIGINT) * {HOUR_MS} AS hb,
+             bucket AS t, vsum AS v FROM r1m),
+w AS (SELECT *, min(v) OVER (PARTITION BY series, hb) AS vm,
+             max(v) OVER (PARTITION BY series, hb) AS vx FROM a)
+SELECT series, hb AS bucket,
+       min(v) AS v_min, max(v) AS v_max,
+       arg_min(v, t) AS v_first, arg_max(v, t) AS v_last,
+       min(CASE WHEN v = vm THEN t END) AS t_min,
+       max(CASE WHEN v = vx THEN t END) AS t_max,
+       min(t) AS t_first, max(t) AS t_last,
+       count(*) AS n
+FROM w GROUP BY series, hb
+"""
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    """Trailing z-score anomaly flags under the driver (24h baseline on
+    the 1h tier, operators/counters.py anomaly_zscore — RANGE frame on
+    bucket so gaps narrow the baseline).  z is rounded to 6dp on BOTH
+    sides and the flag derives from the ROUNDED z, so the one
+    cross-engine float risk (stddev accumulation order) is quashed at
+    the gate boundary."""
+    from .operators.counters import anomaly_zscore
+    t1h = rollup_points(_len_points(spark, sf_dir), HOUR_MS, F.col("v"),
+                        keys=("conv_id",))
+    az = anomaly_zscore(t1h, HOUR_MS, "vsum")
+    zr = F.round("z", 6)
+    return az.select("conv_id", "bucket", "baseline_n",
+                     zr.alias("z"),
+                     F.coalesce(F.abs(zr) > 3.0, F.lit(False))
+                      .alias("anomaly"))
+
+
+ANOMALY_SQL_BODY = f"""
+b AS (SELECT conv_id, bucket, vsum,
+             avg(vsum) OVER w AS mu,
+             stddev_samp(vsum) OVER w AS sd,
+             count(vsum) OVER w AS baseline_n
+      FROM r1h
+      WINDOW w AS (PARTITION BY conv_id ORDER BY bucket
+                   RANGE BETWEEN {24 * HOUR_MS} PRECEDING
+                         AND {HOUR_MS} PRECEDING))
+SELECT conv_id, bucket, baseline_n,
+       CASE WHEN baseline_n >= 3 AND sd > 0
+            THEN round((vsum - mu) / sd, 6) END AS z,
+       coalesce(abs(CASE WHEN baseline_n >= 3 AND sd > 0
+                         THEN round((vsum - mu) / sd, 6) END) > 3.0,
+                FALSE) AS anomaly
+FROM b
+"""
+
+
+DECON_EVAL_IDS = 5
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination under the driver: eval set = the texts
+    of doc_id < 5 (deterministic, tiny by contract — the eval side of a
+    real run is a benchmark suite); per-document 8-gram hit counts,
+    score and flag (operators/decontaminate.py — eval grams broadcast,
+    corpus grams never shuffle).  The oracle replays the overlap with
+    raw token-gram STRINGS — gram-hash identity across engines is not
+    assumed, only hit-set equality (xxhash64 collisions aside, which
+    the corpus sizes here make negligible)."""
+    from .operators.decontaminate import contamination
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") < DECON_EVAL_IDS).select("text")
+    c = contamination(docs, ev)
+    return c.select("doc_id", "n_grams", "n_hits",
+                    F.round("score", 6).alias("score"), "contaminated")
+
+
+def _decontaminate_sql() -> str:
+    toks = P.tokens("text", P.DUCK)
+    gram = "array_to_string(list_slice(toks, i, i + 7), chr(31))"
+    return f"""
+WITH dt AS (SELECT doc_id, {toks} AS toks FROM documents),
+ev AS (SELECT DISTINCT {gram} AS gram
+       FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i
+             FROM dt WHERE doc_id < {DECON_EVAL_IDS} AND len(toks) >= 8)),
+dg AS (SELECT doc_id, {gram} AS gram
+       FROM (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks) - 7)) AS i
+             FROM dt WHERE len(toks) >= 8)),
+hits AS (SELECT doc_id, count(DISTINCT gram) AS n_hits
+         FROM dg JOIN ev USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       greatest(len(d.toks) - 7, 0) AS n_grams,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(CASE WHEN len(d.toks) - 7 > 0
+                  THEN coalesce(h.n_hits, 0)
+                       / CAST(len(d.toks) - 7 AS DOUBLE)
+                  ELSE 0.0 END, 6) AS score,
+       coalesce(h.n_hits, 0) >= 1 AS contaminated
+FROM dt d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_dup_components(spark, sf_dir):
+    """Connected-components dedup under the driver: MinHash-LSH
+    near-dup pairs resolved to clusters (operators/components.py
+    min-label propagation), keeping the minimum doc_id per cluster
+    plus every unpaired document.  Oracle: DuckDB recursive-CTE
+    transitive closure over the SAME pair SQL — an independent CC
+    implementation."""
+    from .operators.components import keep_canonical
+    docs = _docs(spark, sf_dir)
+    return keep_canonical(docs, dedup.lsh_pairs(docs)).select("doc_id")
+
+
+def _dup_components_sql() -> str:
+    return f"""
+WITH RECURSIVE p AS (SELECT a_id, b_id FROM ({dedup.lsh_pairs_sql()})),
+e AS (SELECT a_id AS x, b_id AS y FROM p
+      UNION SELECT b_id, a_id FROM p),
+reach(x, y) AS (SELECT x, y FROM e
+                UNION
+                SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
+lbl AS (SELECT x AS id, least(min(y), x) AS comp FROM reach GROUP BY x)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM lbl WHERE comp < id)
+"""
+
+
 # ------------------------------------------------------------ registries
 #
 # EXACTLY 50 queries, every one oracled.  The driver records the first
 # 50 registry entries in dict order (observed r1+r2), so the registry
 # is consolidated to fit: near-duplicate gates are merged (cascade
-# grains, the two 1h gap-fill policies, serve+expire, the two lossless
-# roundtrip channels, the lossy trio, the four textstat families) and
-# the queries that most need fresh driver evidence — the codec-policy,
-# lossy, checkpoint/skew/streaming gates — sit early.
+# grains, the gap-fill policies, serve+expire, the lossless roundtrip
+# channels, the lossy trio, the textstat families + pii, grouping
+# sets + set ops, semi + anti joins, percentiles + moving windows,
+# the two block-metadata day-tier profiles) and the freed slots gate
+# the round-3 maintenance/serve surface (compaction, purge+patch,
+# audit, range join, M4, anomaly z-score) plus the two LLM-pipeline
+# ops a curation run can't ship without (decontaminate, components).
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1159,39 +1520,39 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_rollup": q_skew_salted_rollup,
         "stream_encode_roundtrip": q_stream_encode_roundtrip,
         "stream_rollup_1m": q_stream_rollup_1m,
+        "compact_roundtrip": q_compact_roundtrip,
+        "purge_patch_tier": q_purge_patch_tier,
+        "audit_clean_store": q_audit_clean,
         "rollup_1m": q_rollup_1m,
         "rollup_cascade": q_rollup_cascade,
-        "rollup_1d_from_blocks": q_rollup_1d_from_blocks,
-        "rollup_1d_from_auto_blocks": q_rollup_1d_from_auto_blocks,
+        "rollup_1d_from_blocks": q_rollup_1d_blocks_both,
         "rollup_from_decoded": q_rollup_from_decoded,
-        "gapfill_1h_multi": q_gapfill_1h_multi,
-        "gapfill_1d_null": q_gapfill_1d_null,
+        "gapfill_tiers": q_gapfill_tiers,
         "retention_tiers": q_retention_tiers,
         "asof_tier": q_asof_tier,
+        "range_join_hours": q_range_join_hours,
+        "m4_downsample": q_m4_downsample,
+        "anomaly_zscore_1h": q_anomaly_zscore,
         "sessionize": q_sessionize,
-        "tier_percentiles": q_tier_percentiles,
-        "tier_moving_avg": q_tier_moving_avg,
+        "tier_windows": q_tier_windows,
         "lttb_downsample": q_lttb,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "events_top3": q_events_top3,
-        "events_grouping_sets": q_events_grouping_sets,
-        "events_setops": q_events_setops,
-        "orders_exists_semi": q_orders_exists_semi,
-        "cust_no_orders_anti": q_cust_no_orders_anti,
+        "events_relational": q_events_relational,
+        "orders_semi_anti": q_orders_semi_anti,
         "supplier_distinct": q_supplier_distinct,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
-        "minhash_signatures": q_minhash_sigs,
         "dedup_minhash_lsh": q_dedup_lsh,
-        "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_pairs,
+        "dup_components_canonical": q_dup_components,
+        "decontaminate": q_decontaminate,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "embedding_dup_pairs": q_embedding_dups,
         "textstats_all": q_textstats_all,
-        "pii_scan": q_pii_scan,
         "pack_bins": q_pack_bins,
         "quota_sample": q_quota_sample,
         "curation_funnel": q_curation_funnel,
@@ -1289,45 +1650,61 @@ SELECT conv_id, bucket, cnt, vmin, vmax, vsum, '1d' FROM r1d""")
             f"{_PTS_SQL}\n{_rollup_sql(MINUTE_MS)}"),
         "stream_encode_roundtrip": roundtrip_len,
         "stream_rollup_1m": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(MINUTE_MS)}"),
+        "compact_roundtrip": _with_transcripts(
+            f"{_PTS_SQL}\nSELECT conv_id, ts_ms, v, TRUE AS blocks_reduced "
+            "FROM pts"),
+        "purge_patch_tier": _with_transcripts(
+            f"{_PTS_SQL},\n{PURGE_PATCH_SQL_BODY}"),
+        "audit_clean_store": _with_transcripts(AUDIT_CLEAN_SQL_BODY),
         "rollup_1m": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(MINUTE_MS)}"),
         "rollup_cascade": rollup_cascade,
-        "rollup_1d_from_blocks": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(DAY_MS)}"),
-        "rollup_1d_from_auto_blocks": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(DAY_MS)}"),
+        "rollup_1d_from_blocks": _with_transcripts(
+            f"{_PTS_SQL},\n{_rollup_sql(DAY_MS, 'r1d')}\n"
+            "SELECT conv_id, bucket, cnt, vmin, vmax, vsum, 'day' AS span "
+            "FROM r1d\nUNION ALL\n"
+            "SELECT conv_id, bucket, cnt, vmin, vmax, vsum, 'auto' FROM r1d"),
         # encode→decode→rollup must equal rolling up the raw points
         "rollup_from_decoded": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(MINUTE_MS)}"),
-        "gapfill_1h_multi": _gapfill_locf_linear_sql(HOUR_MS),
-        "gapfill_1d_null": _gapfill_null_sql(DAY_MS),
+        "gapfill_tiers": _gapfill_tiers_sql(),
         "retention_tiers": _retention_tiers_sql(),
         "pricing_summary": PRICING_SQL,
         "top_orders": TOP_ORDERS_SQL,
         "events_top3": EVENTS_TOP3_SQL,
-        "events_grouping_sets": EVENTS_GROUPING_SQL,
-        "events_setops": EVENTS_SETOPS_SQL,
-        "orders_exists_semi": ORDERS_EXISTS_SQL,
-        "cust_no_orders_anti": CUST_NO_ORDERS_SQL,
+        "events_relational": EVENTS_RELATIONAL_SQL,
+        "orders_semi_anti": ORDERS_SEMI_ANTI_SQL,
         "supplier_distinct": SUPPLIER_DISTINCT_SQL,
         "sessionize": SESSIONIZE_SQL,
         "lttb_downsample": LTTB_SQL,
-        "tier_percentiles": _with_transcripts(
-            f"{_PTS_SQL}\n{TIER_PCTL_SQL_BODY}"),
         "asof_tier": _with_transcripts(
             f"{_PTS_SQL},\n{_rollup_sql(HOUR_MS, alias='t1h')}"
             f"\n{ASOF_TIER_SQL_BODY}"),
-        "tier_moving_avg": _with_transcripts(
-            f"{_PTS_SQL},\n{_rollup_sql(DAY_MS, alias='t1d')}"
-            f"\n{TIER_MOVING_AVG_SQL_BODY}"),
+        "range_join_hours": _with_transcripts(
+            f"{_PTS_SQL},\n{_rollup_sql(DAY_MS, alias='r1d')},"
+            f"\n{RANGE_JOIN_SQL_BODY}"),
+        "m4_downsample": _with_transcripts(
+            f"{_PTS_SQL},\n{_rollup_sql(MINUTE_MS, alias='r1m')},"
+            f"\n{M4_SQL_BODY}"),
+        "anomaly_zscore_1h": _with_transcripts(
+            f"{_PTS_SQL},\n{_rollup_sql(HOUR_MS, alias='r1h')},"
+            f"\n{ANOMALY_SQL_BODY}"),
+        "tier_windows": _with_transcripts(
+            f"{_PTS_SQL},\n{_rollup_sql(DAY_MS, alias='t1d')},\n"
+            f"p AS ({TIER_PCTL_SQL_BODY}),\n"
+            f"m AS ({TIER_MOVING_AVG_SQL_BODY})\n"
+            "SELECT p.conv_id, p.bucket, p.p50, p.p90, p.p99, "
+            "m.avg_vsum_7d, m.delta_vsum "
+            "FROM p JOIN m ON p.conv_id = m.conv_id AND p.bucket = m.bucket"),
         "dedup_exact": dedup.exact_dedup_sql(),
         "dedup_ngram_jaccard": dedup.jaccard_pairs_sql(),
-        "minhash_signatures": dedup.minhash_signatures_sql(),
         "dedup_minhash_lsh": dedup.lsh_pairs_sql(),
-        "simhash": dedup.simhash_sql(),
         "simhash_near_pairs": SIMHASH_PAIRS_SQL,
+        "dup_components_canonical": _dup_components_sql(),
+        "decontaminate": _decontaminate_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(),
         "ann_ivf_topk": similarity.ann_ivf_topk_sql(),
         "embedding_dup_pairs": similarity.cosine_dup_pairs_sql(tau=0.4),
         "textstats_all": _textstats_all_sql(),
-        "pii_scan": _textstat_sql(textstats.pii_scan_cols),
         "frame_sample": FRAME_SAMPLE_SQL,
         "pack_bins": traindata.pack_bins_sql(),
         "quota_sample": traindata.quota_sample_sql(),

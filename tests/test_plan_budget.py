@@ -30,17 +30,25 @@ EXCHANGE_BUDGET = {
     "rollup_1m": 2,
     # transcripts derivation (user_id) + encode (conv,day,seq)
     # + metadata groupBy — the derivation exchange disappears when
-    # transcripts is a stored table
-    "rollup_1d_from_blocks": 3,
+    # transcripts is a stored table; the registry row unions BOTH block
+    # profiles (day + auto: 3 + 4 — the auto branch adds the day-subagg
+    # explode's groupBy), so the budget is two branches' worth
+    "rollup_1d_from_blocks": 7,
     "rollup_from_decoded": 3,
     "codec_roundtrip_2ch": 2,
     "dedup_exact": 2,
     "asof_tier": 4,
     "sessionize": 3,
     "textstats_all": 1,
-    "pii_scan": 1,
     "multimodal_features": 1,
     "frame_sample": 1,
+    # derivation + day-tier groupBy; the interval/point equijoin
+    # broadcasts the exploded interval side (measured 2 at sf0.001)
+    "range_join_hours": 3,
+    # derivation + 1m rollup + m4 groupBy
+    "m4_downsample": 3,
+    # derivation + 1h rollup + one series-keyed window
+    "anomaly_zscore_1h": 3,
 }
 
 
