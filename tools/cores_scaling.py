@@ -109,10 +109,20 @@ def main() -> None:
         "pairs": PAIRS, "reps_per_child": REPS,
     }
     print(json.dumps(summary))
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH", f"CORES_SCALING_{N_CORES}_{N4_CORES}.json"),
-            "w") as f:
-        json.dump({"summary": summary, "runs": results}, f, indent=1)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH",
+        f"CORES_SCALING_{N_CORES}_{N4_CORES}.json")
+    history: dict = {"samples": []}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        history = prev if "samples" in prev else {"samples": [prev]}
+    label = os.environ.get("SPARK_GRAFT_SCALE_LABEL", "")
+    history["samples"].append(
+        {"summary": dict(summary, **({"label": label} if label else {})),
+         "runs": results})
+    with open(path, "w") as f:
+        json.dump(history, f, indent=1)
 
 
 if __name__ == "__main__":
