@@ -110,10 +110,22 @@ _HASH_P = 1_000_000_007
 #: to the fold chunk (255 * (P-1) * 65536 < 2^63, so an int64 dot
 #: product over one chunk cannot overflow)
 _FP_CHUNK = 65_536
-_POW31_DESC = np.empty(_FP_CHUNK, dtype=np.int64)
-_POW31_DESC[-1] = 1
-for _i in range(_FP_CHUNK - 2, -1, -1):
-    _POW31_DESC[_i] = (_POW31_DESC[_i + 1] * 31) % _HASH_P
+
+
+def _pow31_desc(n: int) -> np.ndarray:
+    """[31^(n-1), ..., 31^1, 1] mod P by blockwise doubling — 16 NumPy
+    ops instead of a 65k-iteration Python loop at worker import.
+    Exact in int64: both factors are < P ≈ 2^30, so products stay
+    under 2^60 < 2^63."""
+    out = np.array([1], dtype=np.int64)
+    while len(out) < n:
+        # prefix block = existing block shifted up by 31^len(out)
+        mult = pow(31, len(out), _HASH_P)
+        out = np.concatenate([(out * mult) % _HASH_P, out])
+    return out[-n:]
+
+
+_POW31_DESC = _pow31_desc(_FP_CHUNK)
 
 
 def _fingerprint(buf: np.ndarray) -> int:

@@ -185,3 +185,84 @@ def test_dup_components_on_lsh_pairs(spark):
     assert kept == docs.count() - sum(len(m) - 1 for m in by_comp.values())
     pairs.unpersist()
     comp.unpersist()
+
+
+def test_star_components_randomized_vs_union_find(spark):
+    """algorithm="star" must produce identical labels to union-find
+    on seeded random graphs (same harness as the label-prop test)."""
+    import numpy as np
+    rng = np.random.default_rng(20260818)
+    for case in range(6):
+        n = int(rng.integers(4, 60))
+        m = int(rng.integers(1, max(2, n)))
+        a = rng.integers(0, n, size=m)
+        b = rng.integers(0, n, size=m)
+        edges = [(int(x), int(y)) for x, y in zip(a, b) if x != y]
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for x, y in edges:
+            parent[find(x)] = find(y)
+        members: dict[int, set] = {}
+        for x, y in edges:
+            for v in (x, y):
+                members.setdefault(find(v), set()).add(v)
+        want = {v: min(s) for s in members.values() for v in s}
+
+        pairs = spark.createDataFrame(edges, ["a_id", "b_id"])
+        got = {r["id"]: r["comp"]
+               for r in dup_components(pairs, algorithm="star").collect()}
+        assert got == want, (case, got, want)
+
+
+def test_star_components_long_path_beyond_label_budget(spark):
+    """A 40-node path (diameter 39): label-prop's default 12-round
+    budget CANNOT converge it, star must — in far fewer than 39
+    rounds (the round cap inside the call is 30 < 39)."""
+    path = [(i, i + 1) for i in range(39)]
+    pairs = spark.createDataFrame(path, ["a_id", "b_id"])
+    got = {r["id"]: r["comp"]
+           for r in dup_components(pairs, algorithm="star").collect()}
+    assert got == {i: 0 for i in range(40)}
+
+    labelled = {r["id"]: r["comp"] for r in dup_components(pairs).collect()}
+    assert any(v != 0 for v in labelled.values())  # label-prop: unconverged
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(40)],
+                                 ["doc_id", "text"])
+    kept = {r["doc_id"] for r in
+            keep_canonical(docs, pairs, algorithm="star").collect()}
+    assert kept == {0}
+
+
+def test_star_components_cliques_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["a_id", "b_id"])
+    comp = {r["id"]: r["comp"]
+            for r in dup_components(pairs, algorithm="star").collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+
+def test_star_round_plans_have_no_cartesian(spark):
+    """Plan gate for the star rounds: one large-star + small-star pass
+    must stay equijoin-only (no CartesianProduct / BroadcastNestedLoop)
+    — the per-round cost is what survives 100x, so pin it."""
+    from gorilla_tsc_spark.operators.components import (
+        _large_star,
+        _small_star,
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["a_id", "b_id"])
+    e = pairs.selectExpr("a_id as x", "b_id as y")
+    plan = (_small_star(_large_star(e))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
