@@ -35,7 +35,7 @@ from ..codec.batch import encode_partition
 from .encode import BLOCKS_SCHEMA, DAY_MS, GAP_SPLIT_MS, _day_cols, _day_runs
 
 
-def _compact_iter(pdf_iter, drop_range=None, predictor=None):
+def _compact_iter(pdf_iter, drop_range=None, predictor=None, lww_seq=None):
     """mapInPandas kernel.  Arrow may split one partition into many
     batches; a (conv_id, channel) series straddling a batch boundary
     would otherwise emit two compacted blocks with the SAME identity
@@ -56,12 +56,12 @@ def _compact_iter(pdf_iter, drop_range=None, predictor=None):
         carry = pdf.iloc[tail0:].reset_index(drop=True)
         head = pdf.iloc[:tail0]
         if len(head):
-            yield from _compact_pdf(head, drop_range, predictor)
+            yield from _compact_pdf(head, drop_range, predictor, lww_seq)
     if carry is not None and len(carry):
-        yield from _compact_pdf(carry, drop_range, predictor)
+        yield from _compact_pdf(carry, drop_range, predictor, lww_seq)
 
 
-def _compact_pdf(pdf, drop_range=None, predictor=None):
+def _compact_pdf(pdf, drop_range=None, predictor=None, lww_seq=None):
     from ..codec import native
     from ..codec.fastdecode import decode_payload
     from ..codec.gorilla import GorillaDecoder, dfcm_table_size
@@ -101,8 +101,16 @@ def _compact_pdf(pdf, drop_range=None, predictor=None):
 
     # canonical in-series order: blocks arrive first_ts-sorted, but
     # seq sub-blocks of one day may interleave in time — a stable
-    # per-series ts sort restores the canonical stream
-    order = np.lexsort((ts, series_id))
+    # per-series ts sort restores the canonical stream.  Under
+    # last-write-wins backfill, late points (their staging blocks are
+    # marked seq == lww_seq) sort after on-time points at equal ts so
+    # "keep the last of each conflict run" keeps the late value.
+    if lww_seq is not None:
+        pri = (pdf["seq"].to_numpy(np.int64) == lww_seq)[blk_of_pt]
+        order = np.lexsort((pri, ts, series_id))
+        pri = pri[order]
+    else:
+        order = np.lexsort((ts, series_id))
     ts = ts[order]
     bits = bits[order]
     series_id = series_id[order]
@@ -112,6 +120,25 @@ def _compact_pdf(pdf, drop_range=None, predictor=None):
         # re-split, so a fully-purged series emits no block at all
         t0, t1 = drop_range
         keep = (ts < t0) | (ts >= t1)
+        ts, bits, series_id = ts[keep], bits[keep], series_id[keep]
+        if lww_seq is not None:
+            pri = pri[keep]
+
+    if lww_seq is not None and len(ts):
+        # last-write-wins: within each equal-(series, ts) run that
+        # contains at least one LATE point, keep only the run's last
+        # point (a late one, by the sort above).  Runs with no late
+        # member — pre-existing duplicate timestamps the caller never
+        # touched — pass through intact.
+        new_run = np.ones(len(ts), dtype=bool)
+        new_run[1:] = ((series_id[1:] != series_id[:-1])
+                       | (ts[1:] != ts[:-1]))
+        run_id = np.cumsum(new_run) - 1
+        run_has_late = np.zeros(run_id[-1] + 1, dtype=bool)
+        run_has_late[run_id[pri]] = True
+        last_of_run = np.ones(len(ts), dtype=bool)
+        last_of_run[:-1] = new_run[1:]
+        keep = ~run_has_late[run_id] | last_of_run
         ts, bits, series_id = ts[keep], bits[keep], series_id[keep]
 
     n = len(ts)
@@ -165,7 +192,8 @@ def _compact_pdf(pdf, drop_range=None, predictor=None):
 def compact_blocks(blocks: DataFrame,
                    shuffle_partitions: int | None = None,
                    drop_range: tuple[int, int] | None = None,
-                   predictor: str | None = None) -> DataFrame:
+                   predictor: str | None = None,
+                   lww_late_seq: int | None = None) -> DataFrame:
     """gorilla_blocks (any mix of day/auto/streaming blocks) →
     compacted span-auto blocks, one shuffle keyed (conv_id, channel).
     ``predictor`` must match the store's encode-time predictor (as for
@@ -181,6 +209,13 @@ def compact_blocks(blocks: DataFrame,
     point with t0 <= ts < t1 before re-encoding — the copy-on-write
     rewrite step of a targeted purge (see ``operators/purge.py``).  A
     series whose points are all inside the range emits no block.
+
+    ``lww_late_seq=S`` enables last-write-wins conflict resolution for
+    backfill ingest (see ``operators/backfill.py``): input blocks whose
+    ``seq`` equals S are LATE staging blocks, and wherever a late point
+    shares a timestamp with an on-time point of the same series, only
+    the late value survives.  Equal-ts runs with no late member pass
+    through untouched.
     """
     n = shuffle_partitions or int(
         blocks.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -189,7 +224,7 @@ def compact_blocks(blocks: DataFrame,
                 .repartition(n, "conv_id", "channel")
                 .sortWithinPartitions("conv_id", "channel", "first_ts", "seq"))
     return arranged.mapInPandas(
-        lambda it: _compact_iter(it, drop_range, predictor),
+        lambda it: _compact_iter(it, drop_range, predictor, lww_late_seq),
         schema=BLOCKS_SCHEMA)
 
 

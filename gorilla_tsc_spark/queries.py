@@ -1249,17 +1249,26 @@ FROM events GROUP BY user_id
 # ----------------------------- maintenance / serve gates (round 4)
 
 def q_compact_roundtrip(spark, sf_dir):
-    """Compaction under the driver: fragment the store
-    (points_per_block=64 → many small blocks, the streaming-seal /
-    sparse-day debris shape), compact to span-auto blocks
-    (operators/compact.py — one (conv_id, channel) shuffle + batch
-    native decode/re-encode), decode — must reproduce the raw points
-    exactly, and the sweep must actually shrink the store
+    """Backfill + compaction under the driver: every 5th turn arrives
+    LATE — the on-time turns are encoded into a fragmented store
+    (points_per_block=64, the streaming-seal / sparse-day debris
+    shape), then the late batch is merged in through
+    operators/backfill.py (late staging blocks + copy-on-write
+    re-encode of the affected conversations only), then the whole
+    store is compacted to span-auto blocks (operators/compact.py — one
+    (conv_id, channel) shuffle + batch native decode/re-encode).  The
+    decoded result must reproduce ALL raw points exactly (so the merge
+    lost nothing, invented nothing, and restored canonical per-series
+    ts order), and the sweep must actually shrink the store
     (blocks_reduced)."""
+    from .operators.backfill import ingest_backfill
     from .operators.compact import compact_blocks
-    small = encode_blocks(_transcripts(spark, sf_dir), LEN_CHANNEL,
-                          points_per_block=64)
-    compacted = compact_blocks(small)
+    t = _transcripts(spark, sf_dir)
+    late = t.where(F.col("turn_idx") % 5 == 2)
+    small = encode_blocks(t.where(F.col("turn_idx") % 5 != 2),
+                          LEN_CHANNEL, points_per_block=64)
+    merged = ingest_backfill(small, late, channels=LEN_CHANNEL)
+    compacted = compact_blocks(merged)
     reduced = compacted.count() < small.count()
     return (decode_blocks(compacted)
             .select("conv_id", "ts_ms", F.col("v_double").alias("v"))
