@@ -122,6 +122,29 @@ def main() -> None:
     run("compact_blocks", compact_small)
     small.unpersist()
 
+    # ingest path: merge a late batch into a sealed store
+    # (operators/backfill.py).  Realistic shape: ~5 % of CONVERSATIONS
+    # have late turns (a delayed export), the other 95 % of the store
+    # must pass through untouched — that anti-join passthrough is the
+    # property being timed, alongside the copy-on-write re-encode of
+    # the affected slice.  Store and late batch materialize once
+    # outside the timed region.
+    from gorilla_tsc_spark.operators.backfill import ingest_backfill
+    late_conv = F.crc32(F.col("conv_id")) % 20 == 0
+    late_turn = F.col("turn_idx") % 5 == 2
+    late_t = t.where(late_conv & late_turn).localCheckpoint()
+    store_bf = encode_blocks(
+        t.where(~(late_conv & late_turn))).persist()
+    stats["backfill_store_blocks"] = store_bf.count()
+    stats["backfill_late_rows"] = late_t.count()
+
+    def backfill_bench():
+        stats["backfill_out_blocks"] = ingest_backfill(
+            store_bf, late_t).count()
+
+    run("backfill_merge", backfill_bench)
+    store_bf.unpersist()
+
     # serve + compliance paths over a materialized block store
     from gorilla_tsc_spark.operators.purge import purge_range
     from gorilla_tsc_spark.operators.retention import read_range
@@ -312,6 +335,9 @@ def main() -> None:
         "n_blocks": int(stats["blocks"]),
         "compaction": {"blocks_in": int(stats["small_blocks"]),
                        "blocks_out": int(stats["compacted_blocks"])},
+        "backfill": {"store_blocks": int(stats["backfill_store_blocks"]),
+                     "late_rows": int(stats["backfill_late_rows"]),
+                     "out_blocks": int(stats["backfill_out_blocks"])},
         "audit": stats["audit"],
         "serve": {"range_points": int(stats["range_points"]),
                   "post_purge_blocks": int(stats["post_purge_blocks"]),
