@@ -165,6 +165,18 @@ def main() -> None:
 
     run("read_range_day", read_range_day)
 
+    # zone-map value scan: "where did len exceed its p99?" — the prune
+    # must keep the decode to the envelope-crossing blocks only
+    from gorilla_tsc_spark.operators.retention import read_value_range
+    v99 = (store.where(F.col("channel") == "len")
+           .agg(F.expr("percentile(agg_max, 0.99)")).first()[0])
+
+    def value_scan():
+        stats["value_scan_points"] = read_value_range(
+            store, v99, channel="len").count()
+
+    run("value_scan_exceed", value_scan)
+
     victims = [r[0] for r in store.select("conv_id").distinct()
                .orderBy("conv_id").limit(100).collect()]
 
@@ -340,6 +352,7 @@ def main() -> None:
                      "out_blocks": int(stats["backfill_out_blocks"])},
         "audit": stats["audit"],
         "serve": {"range_points": int(stats["range_points"]),
+                  "value_scan_points": int(stats["value_scan_points"]),
                   "post_purge_blocks": int(stats["post_purge_blocks"]),
                   "hll_30d_buckets": int(stats["hll_30d_buckets"]),
                   "topk_30d_rows": int(stats["topk_30d_rows"]),

@@ -68,6 +68,59 @@ def read_range(blocks: DataFrame, t0_ms: int, t1_ms: int,
                      & (F.col("ts_ms") < F.lit(t1_ms)))
 
 
+def read_value_range(blocks: DataFrame, v_lo: float | None = None,
+                     v_hi: float | None = None, *,
+                     channel: str | None = None,
+                     t0_ms: int | None = None, t1_ms: int | None = None,
+                     predictor: str | None = None) -> DataFrame:
+    """Zone-map value scan: decode only blocks that can satisfy
+    ``v ∈ [v_lo, v_hi]``.
+
+    The serve path for "where did this channel exceed X?" over a sealed
+    store: each block's stored ``agg_min``/``agg_max`` is a zone map, so
+    a block is a candidate iff ``agg_max >= v_lo AND agg_min <= v_hi``
+    — the same exclusion rule Parquet applies to row groups and
+    TimescaleDB to chunks.  All prune predicates are plain column
+    comparisons on block metadata, so on a parquet/Iceberg store they
+    reach the scan as pushed filters; the decode kernel only ever sees
+    the candidate blocks.  On a spiky channel (exceedances clustered in
+    a few conversations/days) this turns a full-store decode into a
+    scan of the few blocks whose envelope crosses the threshold.
+    Decoded points are then filtered to the exact predicate (a block
+    whose envelope crosses X still holds sub-threshold points).
+
+    Composes with the time prune of ``read_range`` (``t0_ms``/``t1_ms``)
+    and an optional channel narrowing.  ``None`` bounds are open; null
+    zone-map stats (foreign stores) disable pruning for that block
+    rather than dropping it.
+    """
+    from .encode import decode_blocks
+
+    pruned = blocks
+    if channel is not None:
+        pruned = pruned.where(F.col("channel") == F.lit(channel))
+    if t0_ms is not None:
+        pruned = pruned.where(F.col("last_ts") >= F.lit(t0_ms))
+    if t1_ms is not None:
+        pruned = pruned.where(F.col("first_ts") < F.lit(t1_ms))
+    if v_lo is not None:
+        pruned = pruned.where(F.col("agg_max").isNull()
+                              | (F.col("agg_max") >= F.lit(float(v_lo))))
+    if v_hi is not None:
+        pruned = pruned.where(F.col("agg_min").isNull()
+                              | (F.col("agg_min") <= F.lit(float(v_hi))))
+    pts = decode_blocks(pruned, predictor)
+    if t0_ms is not None:
+        pts = pts.where(F.col("ts_ms") >= F.lit(t0_ms))
+    if t1_ms is not None:
+        pts = pts.where(F.col("ts_ms") < F.lit(t1_ms))
+    if v_lo is not None:
+        pts = pts.where(F.col("v_double") >= F.lit(float(v_lo)))
+    if v_hi is not None:
+        pts = pts.where(F.col("v_double") <= F.lit(float(v_hi)))
+    return pts
+
+
 def serve_union(t1m: DataFrame, t1h: DataFrame, t1d: DataFrame,
                 now_ms: int, policy: RetentionPolicy = RetentionPolicy()) -> DataFrame:
     """Best-available-resolution view across the retention cascade.

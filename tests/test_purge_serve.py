@@ -406,3 +406,35 @@ def test_quantile_label_safety(spark):
     assert "p29" in out.columns and "p99_9" in out.columns
     with pytest.raises(ValueError, match="duplicate quantile label"):
         quantile_estimates(tier, qs=(0.5, 0.5))
+
+
+def test_read_value_range_zone_map_prunes_and_matches(spark):
+    from gorilla_tsc_spark.operators.retention import read_value_range
+    blocks = _blocks(spark).cache()
+    # threshold at the 90th percentile of per-block maxima on the len
+    # channel: only ~10 % of its blocks have an envelope that crosses
+    # it, so the zone-map prune must skip the rest before the decode
+    # kernel runs
+    lens = blocks.where(F.col("channel") == "len")
+    v_lo = lens.agg(F.expr("percentile(agg_max, 0.9)")).first()[0]
+    cols = ("conv_id", "channel", "ts_ms", "v_double", "v_long")
+    got = {tuple(r) for r in
+           read_value_range(blocks, v_lo, channel="len")
+           .select(*cols).collect()}
+    want = {tuple(r) for r in decode_blocks(lens)
+            .where(F.col("v_double") >= v_lo).select(*cols).collect()}
+    assert got == want and got
+    candidates = lens.where(F.col("agg_max") >= v_lo).count()
+    assert candidates <= lens.count() * 0.2, (candidates, lens.count())
+    # two-sided band + time window composes
+    lo, hi = blocks.agg(F.min("first_ts"), F.max("last_ts")).first()
+    t0 = (lo // DAY_MS + 1) * DAY_MS
+    t1 = t0 + 2 * DAY_MS
+    v_hi = v_lo * 1.5
+    got2 = {tuple(r) for r in
+            read_value_range(blocks, v_lo, v_hi, t0_ms=t0, t1_ms=t1)
+            .select(*cols).collect()}
+    want2 = {r for r in want
+             if t0 <= r[2] < t1 and v_lo <= r[3] <= v_hi}
+    assert got2 == want2
+    blocks.unpersist()
