@@ -145,3 +145,15 @@ def test_backfill_entirely_new_conversation(spark):
     merged = ingest_backfill(encode_blocks(ontime), late)
     assert _point_set(merged) == _point_set(
         encode_blocks(t.where(F.col("conv_id").isin(convs))))
+
+
+def test_backfill_replay_idempotent_under_lww(spark):
+    """Re-delivering the SAME late batch (an at-least-once upstream)
+    must be a no-op under on_conflict='last': every replayed point
+    lands on an equal (series, ts) and LWW keeps exactly one."""
+    t, ontime, late = _split(spark)
+    store = encode_blocks(ontime)
+    once = ingest_backfill(store, late,
+                           on_conflict="last").localCheckpoint()
+    twice = ingest_backfill(once, late, on_conflict="last")
+    assert _point_set(twice) == _point_set(once)
