@@ -215,6 +215,22 @@ def main() -> None:
 
     run("topk_heavy_hitters_tier", topk_tier_bench)
 
+    from gorilla_tsc_spark.operators.correlate import (cascade_corr_tier,
+                                                       corr_estimates,
+                                                       corr_tier)
+    from gorilla_tsc_spark.operators.rollup import HOUR_MS
+
+    def corr_tier_bench():
+        xy = Q._transcripts(spark, sf_dir).select(
+            "conv_id", F.unix_millis("ts").alias("ts_ms"),
+            F.length("text").cast("double").alias("x"),
+            F.size(F.split("text", r"\s+")).cast("double").alias("y"))
+        tier = corr_tier(xy, HOUR_MS)
+        stats["corr_1d_buckets"] = corr_estimates(
+            cascade_corr_tier(tier, HOUR_MS, DAY_MS)).count()
+
+    run("corr_tier_1h_1d", corr_tier_bench)
+
     from gorilla_tsc_spark.operators.components import keep_canonical
     from gorilla_tsc_spark.operators.dedup import lsh_pairs
     from gorilla_tsc_spark.operators.decontaminate import decontaminate
@@ -355,6 +371,7 @@ def main() -> None:
                   "value_scan_points": int(stats["value_scan_points"]),
                   "post_purge_blocks": int(stats["post_purge_blocks"]),
                   "hll_30d_buckets": int(stats["hll_30d_buckets"]),
+                  "corr_1d_buckets": int(stats["corr_1d_buckets"]),
                   "topk_30d_rows": int(stats["topk_30d_rows"]),
                   "decontaminated_kept": int(stats["decontaminated_kept"]),
                   "canonical_docs": int(stats["canonical_docs"])},
