@@ -231,6 +231,20 @@ def main() -> None:
 
     run("corr_tier_1h_1d", corr_tier_bench)
 
+    from gorilla_tsc_spark.operators.timeweight import (cascade_twa_tier,
+                                                        twa_estimates,
+                                                        twa_tier)
+
+    def twa_tier_bench():
+        pts = Q._transcripts(spark, sf_dir).select(
+            "conv_id", F.unix_millis("ts").alias("ts_ms"),
+            F.length("text").cast("double").alias("v"))
+        tier = twa_tier(pts, HOUR_MS)
+        stats["twa_1d_buckets"] = twa_estimates(
+            cascade_twa_tier(tier, HOUR_MS, DAY_MS)).count()
+
+    run("twa_tier_1h_1d", twa_tier_bench)
+
     from gorilla_tsc_spark.operators.components import keep_canonical
     from gorilla_tsc_spark.operators.dedup import lsh_pairs
     from gorilla_tsc_spark.operators.decontaminate import decontaminate
@@ -372,6 +386,7 @@ def main() -> None:
                   "post_purge_blocks": int(stats["post_purge_blocks"]),
                   "hll_30d_buckets": int(stats["hll_30d_buckets"]),
                   "corr_1d_buckets": int(stats["corr_1d_buckets"]),
+                  "twa_1d_buckets": int(stats["twa_1d_buckets"]),
                   "topk_30d_rows": int(stats["topk_30d_rows"]),
                   "decontaminated_kept": int(stats["decontaminated_kept"]),
                   "canonical_docs": int(stats["canonical_docs"])},
