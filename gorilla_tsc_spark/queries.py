@@ -759,6 +759,121 @@ def q_ann_ivf(spark, sf_dir):
         _emb(spark, sf_dir), centroids=similarity.ivf_centroids())
 
 
+def q_ann_topk(spark, sf_dir):
+    """All three ANN strategies in ONE driver gate (method-tagged
+    union): brute-force cosine (the documented baseline — broadcast
+    NLJ by definition), LSH-bucketed, and IVF with the deterministic
+    hash-seeded quantizer.  Merged so the registry stays at 50 while
+    freeing slots for the round-4 tier families; each method's rows
+    still hash independently via the method column."""
+    parts = (q_ann_cosine(spark, sf_dir).withColumn("method", F.lit("brute")),
+             q_ann_lsh(spark, sf_dir).withColumn("method", F.lit("lsh")),
+             q_ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("method", "q_id", "n_id", "rank", "cos")
+
+
+def q_corr_tier_1d(spark, sf_dir):
+    """Cross-channel correlation tier under the driver
+    (operators/correlate.py): x = chars per turn, y = whitespace
+    tokens per turn (both integer-valued doubles, so the six
+    sufficient-statistic sums are IEEE-exact in any order), built at
+    1h and CASCADED to 1d — the oracle builds 1d directly, so equality
+    gates the cascade's exactness claim, not just the build.  Derived
+    cov/r/slope/intercept round to 6dp on both sides (the anomaly-gate
+    float rule)."""
+    from .operators.correlate import (cascade_corr_tier, corr_estimates,
+                                      corr_tier)
+    t = _transcripts(spark, sf_dir)
+    y = F.expr(f"CAST({P.array_size(P.tokens('text', P.SPARK), P.SPARK)} "
+               "AS DOUBLE)")
+    pts = t.select("conv_id", F.unix_millis("ts").alias("ts_ms"),
+                   F.length("text").cast("double").alias("x"), y.alias("y"))
+    est = corr_estimates(
+        cascade_corr_tier(corr_tier(pts, HOUR_MS), HOUR_MS, DAY_MS))
+    z = F.lit(0.0)  # “+ 0.0” maps IEEE −0.0 → +0.0 (repr-hash parity)
+    return est.select(
+        "conv_id", "bucket", "n", "sx", "sy", "sxx", "syy", "sxy",
+        (F.round("cov", 6) + z).alias("cov"),
+        (F.round("r", 6) + z).alias("r"),
+        (F.round("slope", 6) + z).alias("slope"),
+        (F.round("intercept", 6) + z).alias("intercept"))
+
+
+CORR_TIER_SQL_BODY = f"""
+t AS (SELECT conv_id,
+             CAST(floor(ts_ms / {DAY_MS}) AS BIGINT) * {DAY_MS} AS bucket,
+             count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM cpts GROUP BY 1, 2)
+SELECT conv_id, bucket, n, sx, sy, sxx, syy, sxy,
+       round((n * sxy - sx * sy) / (n * n), 6) + 0.0 AS cov,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                        AND (n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                 + 0.0
+       END AS r,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+       END AS slope,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+            THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                       / n, 6) + 0.0
+       END AS intercept
+FROM t
+"""
+
+
+def q_twa_tier_1d(spark, sf_dir):
+    """Time-weighted average tier under the driver
+    (operators/timeweight.py): LOCF step integral of the turn-length
+    channel, built at 1h and CASCADED to 1d (sums + seam bridges); the
+    oracle integrates at 1d directly, so equality gates the seam-bridge
+    algebra.  wsum is a sum of int-valued-double × ms products —
+    IEEE-exact — and the served twa rounds to 6dp on both sides."""
+    from .operators.timeweight import (cascade_twa_tier, twa_estimates,
+                                       twa_tier)
+    est = twa_estimates(
+        cascade_twa_tier(twa_tier(_len_points(spark, sf_dir), HOUR_MS),
+                         HOUR_MS, DAY_MS))
+    return est.select("conv_id", "bucket", "n", "first_ts", "first_v",
+                      "last_ts", "last_v", "wsum", "duration_ms",
+                      F.round("twa", 6).alias("twa"))
+
+
+TWA_TIER_SQL_BODY = f"""
+o AS (SELECT conv_id, ts_ms, v,
+             lead(ts_ms) OVER w AS nts,
+             CAST(floor(ts_ms / {DAY_MS}) AS BIGINT) * {DAY_MS} AS bucket,
+             first_value(v) OVER pb AS fv,
+             last_value(v) OVER pb AS lv
+      FROM pts
+      WINDOW w AS (PARTITION BY conv_id ORDER BY ts_ms, v),
+             pb AS (PARTITION BY conv_id,
+                                 CAST(floor(ts_ms / {DAY_MS}) AS BIGINT)
+                    ORDER BY ts_ms, v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)),
+t AS (SELECT conv_id, bucket, count(*) AS n,
+             min(ts_ms) AS first_ts, min(fv) AS first_v,
+             max(ts_ms) AS last_ts, min(lv) AS last_v,
+             sum(CASE WHEN nts IS NOT NULL
+                      AND CAST(floor(nts / {DAY_MS}) AS BIGINT) * {DAY_MS}
+                          = bucket
+                      THEN v * (nts - ts_ms) ELSE 0 END) AS wsum
+      FROM o GROUP BY 1, 2)
+SELECT conv_id, bucket, n, first_ts, first_v, last_ts, last_v, wsum,
+       CAST(last_ts - first_ts AS BIGINT) AS duration_ms,
+       round(CASE WHEN last_ts > first_ts
+                  THEN wsum / CAST(last_ts - first_ts AS DOUBLE)
+                  ELSE last_v END, 6) AS twa
+FROM t
+"""
+
+
 def q_embedding_dups(spark, sf_dir):
     # synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51
     # at sf0.01) — τ=0.4 keeps the result small but non-trivial
@@ -1514,6 +1629,10 @@ WHERE doc_id NOT IN (SELECT id FROM lbl WHERE comp < id)
 # the round-3 maintenance/serve surface (compaction, purge+patch,
 # audit, range join, M4, anomaly z-score) plus the two LLM-pipeline
 # ops a curation run can't ship without (decontaminate, components).
+# Round 4: the three ANN strategies merge into one method-tagged gate
+# (ann_topk), freeing two slots for the new tier families
+# (corr_tier_1d, twa_tier_1d — each oracled against a DIRECT coarse
+# build so the cascade algebra itself is driver-gated).
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -1557,9 +1676,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_pairs,
         "dup_components_canonical": q_dup_components,
         "decontaminate": q_decontaminate,
-        "ann_cosine_topk": q_ann_cosine,
-        "ann_lsh_topk": q_ann_lsh,
-        "ann_ivf_topk": q_ann_ivf,
+        "corr_tier_1d": q_corr_tier_1d,
+        "twa_tier_1d": q_twa_tier_1d,
+        "ann_topk": q_ann_topk,
         "embedding_dup_pairs": q_embedding_dups,
         "textstats_all": q_textstats_all,
         "pack_bins": q_pack_bins,
@@ -1709,9 +1828,18 @@ SELECT conv_id, bucket, cnt, vmin, vmax, vsum, '1d' FROM r1d""")
         "simhash_near_pairs": SIMHASH_PAIRS_SQL,
         "dup_components_canonical": _dup_components_sql(),
         "decontaminate": _decontaminate_sql(),
-        "ann_cosine_topk": similarity.cosine_topk_sql(),
-        "ann_lsh_topk": similarity.ann_lsh_topk_sql(),
-        "ann_ivf_topk": similarity.ann_ivf_topk_sql(),
+        "corr_tier_1d": _with_transcripts(
+            "cpts AS (SELECT conv_id, epoch_ms(ts) AS ts_ms, "
+            "CAST(length(text) AS DOUBLE) AS x, "
+            f"CAST({P.array_size(P.tokens('text', P.DUCK), P.DUCK)} "
+            "AS DOUBLE) AS y "
+            f"FROM transcripts),\n{CORR_TIER_SQL_BODY}"),
+        "twa_tier_1d": _with_transcripts(
+            f"{_PTS_SQL.rstrip()},\n{TWA_TIER_SQL_BODY}"),
+        "ann_topk": (
+            f"SELECT 'brute' AS method, * FROM ({similarity.cosine_topk_sql()})\n"
+            f"UNION ALL SELECT 'lsh', * FROM ({similarity.ann_lsh_topk_sql()})\n"
+            f"UNION ALL SELECT 'ivf', * FROM ({similarity.ann_ivf_topk_sql()})"),
         "embedding_dup_pairs": similarity.cosine_dup_pairs_sql(tau=0.4),
         "textstats_all": _textstats_all_sql(),
         "frame_sample": FRAME_SAMPLE_SQL,

@@ -49,6 +49,12 @@ EXCHANGE_BUDGET = {
     "m4_downsample": 3,
     # derivation + 1h rollup + one series-keyed window
     "anomaly_zscore_1h": 3,
+    # derivation + 1h pair-stats groupBy (the 1d cascade reuses the
+    # (conv,bucket) partitioning's conv prefix)
+    "corr_tier_1d": 2,
+    # derivation + the series window; BOTH groupBys reuse the window's
+    # conv_id hash partitioning (conv_id ⊆ every grouping key)
+    "twa_tier_1d": 2,
 }
 
 
@@ -71,7 +77,7 @@ def plans(spark):
 # brute-force cosine top-k IS a broadcast-nested-loop by definition:
 # the tiny query set broadcasts against a linear corpus scan — the
 # documented baseline whose scale path is ann_lsh_topk / ann_ivf_topk
-ALLOWED_NESTED_LOOP = {"ann_cosine_topk"}
+ALLOWED_NESTED_LOOP = {"ann_topk"}
 
 
 def test_no_cartesian_anywhere(plans):
