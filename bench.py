@@ -245,6 +245,18 @@ def main() -> None:
 
     run("twa_tier_1h_1d", twa_tier_bench)
 
+    from gorilla_tsc_spark.operators.heartbeat import (
+        cascade_heartbeat_tier, heartbeat_estimates, heartbeat_tier)
+
+    def heartbeat_tier_bench():
+        beats = Q._transcripts(spark, sf_dir).select(
+            "conv_id", F.unix_millis("ts").alias("ts_ms"))
+        tier = heartbeat_tier(beats, HOUR_MS, 5 * 60_000)
+        stats["hb_1d_buckets"] = heartbeat_estimates(
+            cascade_heartbeat_tier(tier, HOUR_MS, DAY_MS, 5 * 60_000)).count()
+
+    run("heartbeat_tier_1h_1d", heartbeat_tier_bench)
+
     from gorilla_tsc_spark.operators.components import keep_canonical
     from gorilla_tsc_spark.operators.dedup import lsh_pairs
     from gorilla_tsc_spark.operators.decontaminate import decontaminate
@@ -387,6 +399,7 @@ def main() -> None:
                   "hll_30d_buckets": int(stats["hll_30d_buckets"]),
                   "corr_1d_buckets": int(stats["corr_1d_buckets"]),
                   "twa_1d_buckets": int(stats["twa_1d_buckets"]),
+                  "hb_1d_buckets": int(stats["hb_1d_buckets"]),
                   "topk_30d_rows": int(stats["topk_30d_rows"]),
                   "decontaminated_kept": int(stats["decontaminated_kept"]),
                   "canonical_docs": int(stats["canonical_docs"])},
