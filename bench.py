@@ -257,6 +257,16 @@ def main() -> None:
 
     run("heartbeat_tier_1h_1d", heartbeat_tier_bench)
 
+    from gorilla_tsc_spark.operators.rollup import rollup_points
+    from gorilla_tsc_spark.operators.smoothing import ewma_serve
+
+    def ewma_bench():
+        t1h = rollup_points(Q._len_points(spark, sf_dir), HOUR_MS,
+                            F.col("v"), keys=("conv_id",))
+        stats["ewma_rows"] = ewma_serve(t1h, "vsum", 6 * HOUR_MS).count()
+
+    run("ewma_serve_1h", ewma_bench)
+
     from gorilla_tsc_spark.operators.components import keep_canonical
     from gorilla_tsc_spark.operators.dedup import lsh_pairs
     from gorilla_tsc_spark.operators.decontaminate import decontaminate
@@ -400,6 +410,7 @@ def main() -> None:
                   "corr_1d_buckets": int(stats["corr_1d_buckets"]),
                   "twa_1d_buckets": int(stats["twa_1d_buckets"]),
                   "hb_1d_buckets": int(stats["hb_1d_buckets"]),
+                  "ewma_rows": int(stats["ewma_rows"]),
                   "topk_30d_rows": int(stats["topk_30d_rows"]),
                   "decontaminated_kept": int(stats["decontaminated_kept"]),
                   "canonical_docs": int(stats["canonical_docs"])},

@@ -1,0 +1,82 @@
+"""EWMA serve (operators/smoothing.py): agreement with pandas' fixed-α
+EWMA on a regular grid, an independent recursion on irregular data,
+the half-life identity, null handling, and long-gap forgetting."""
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gorilla_tsc_spark.operators.rollup import HOUR_MS, rollup_points
+from gorilla_tsc_spark.operators.smoothing import ewma_serve
+
+HL = 6 * HOUR_MS  # half-life: 6 hours
+
+
+def _reference(rows, halflife_ms):
+    """Independent recursion (plain Python, per series)."""
+    by_key = {}
+    for conv, ts, v in rows:
+        by_key.setdefault(conv, []).append((ts, v))
+    out = {}
+    for conv, tv in by_key.items():
+        tv.sort()
+        s, prev = None, None
+        for ts, v in tv:
+            if v is None:
+                out[(conv, ts)] = s
+                continue
+            if s is None:
+                s = v
+            else:
+                d = 2.0 ** (-(ts - prev) / halflife_ms)
+                s = d * s + (1 - d) * v
+            prev = ts
+            out[(conv, ts)] = s
+    return out
+
+
+def test_ewma_matches_reference_on_tier(spark):
+    from gorilla_tsc_spark.queries import _len_points
+    t1h = rollup_points(_len_points(spark, "/root/testdata/sf0.001"),
+                        HOUR_MS, F.col("v"), keys=("conv_id",)).cache()
+    got = {(r["conv_id"], r["bucket"]): r["ewma"]
+           for r in ewma_serve(t1h, "vsum", HL).collect()}
+    rows = [(r["conv_id"], r["bucket"], r["vsum"]) for r in t1h.collect()]
+    truth = _reference(rows, HL)
+    assert set(got) == set(truth)
+    for k, v in got.items():
+        assert math.isclose(v, truth[k], rel_tol=1e-12), k
+    t1h.unpersist()
+
+
+def test_regular_grid_equals_pandas_fixed_alpha(spark):
+    # on an even grid the time-aware decay is a constant α
+    ts = [i * HOUR_MS for i in range(48)]
+    vals = [float((i * 37) % 11) for i in range(48)]
+    df = spark.createDataFrame(
+        [("c", t, v) for t, v in zip(ts, vals)],
+        "conv_id string, bucket long, vsum double")
+    got = (ewma_serve(df, "vsum", HL).orderBy("bucket")
+           .select("ewma").toPandas()["ewma"].to_numpy())
+    alpha = 1 - 2.0 ** (-HOUR_MS / HL)
+    want = (pd.Series(vals).ewm(alpha=alpha, adjust=False).mean()
+            .to_numpy())
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_halflife_nulls_and_forgetting(spark):
+    rows = [("c", 0, 10.0),
+            ("c", HL, 0.0),            # one half-life later: mean halves
+            ("c", HL + 1, None),       # null: hold, don't decay
+            ("c", HL + 1000 * HL, 7.0)]  # huge gap: forget history
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket long, vsum double")
+    out = {r["bucket"]: r["ewma"]
+           for r in ewma_serve(df, "vsum", HL).collect()}
+    assert out[0] == 10.0
+    assert out[HL] == pytest.approx(5.0)          # 0.5·10 + 0.5·0
+    assert out[HL + 1] == pytest.approx(5.0)      # carried, no decay
+    assert out[HL + 1000 * HL] == pytest.approx(7.0, abs=1e-9)
