@@ -25,7 +25,7 @@ Scale shape: build = one groupBy keyed (series, bucket) with map-side
 partial aggregation; cascade/refresh = sums over tier rows; serve =
 row-local arithmetic.  Whole-stage codegen end to end, no Python.
 
-Lifecycle parity with the other five families (ARCHITECTURE.md "Tier
+Lifecycle parity with the other families (ARCHITECTURE.md "Tier
 families"): build `corr_tier`, cascade `cascade_corr_tier`, late
 refresh `refresh_corr_tier`, serve `corr_estimates`.
 """

@@ -129,6 +129,43 @@ def refresh_twa_tier(tier: DataFrame, late_points: DataFrame,
     return untouched.select(*out_cols).unionByName(rebuilt.select(*out_cols))
 
 
+def twa_interpolated_estimates(tier: DataFrame, bucket_ms: int,
+                               keys=("conv_id",)) -> DataFrame:
+    """Serve the TWA with LOCF extension across bucket edges
+    (TimescaleDB's `interpolated_average` idea — public docs): a bucket
+    whose series was already live keeps the PREVIOUS bucket's last
+    value from its own start until its first in-bucket point, and holds
+    its last value to its end while the series demonstrably continues
+    (a later tier row exists).  Edges without a neighbor fall back to
+    the observed span, so an isolated bucket serves exactly its plain
+    `twa_estimates` value.
+
+    Pure lag/lead over tier rows + row-local arithmetic — no raw-point
+    access, no Python, and the window key is the tier's own series key.
+    """
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(*keys).orderBy("bucket")
+    start = F.col("bucket")
+    end = F.col("bucket") + F.lit(bucket_ms)
+    prev_last_v = F.lag("last_v").over(w)
+    has_next = F.lead("bucket").over(w).isNotNull()
+    head = F.when(prev_last_v.isNotNull(),
+                  prev_last_v * (F.col("first_ts") - start)) \
+            .otherwise(F.lit(0.0))
+    tail = F.when(has_next,
+                  F.col("last_v") * (end - F.col("last_ts"))) \
+            .otherwise(F.lit(0.0))
+    lo = F.when(prev_last_v.isNotNull(), start).otherwise(F.col("first_ts"))
+    hi = F.when(has_next, end).otherwise(F.col("last_ts"))
+    dur = (hi - lo).cast("double")
+    return (tier
+            .withColumn("covered_ms", (hi - lo).cast("long"))
+            .withColumn("twa_interp",
+                        F.when(dur > 0,
+                               (F.col("wsum") + head + tail) / dur)
+                         .otherwise(F.col("last_v"))))
+
+
 def twa_estimates(tier: DataFrame) -> DataFrame:
     """Serve: the time-weighted average per tier row, plus the observed
     duration.  Zero-duration buckets (single point, or all points on

@@ -117,3 +117,46 @@ def test_degenerate_and_ties(spark):
     assert est["c2"]["twa"] == 9.0 and est["c2"]["n"] == 2
     # LOCF: value 2.0 held for the full 1000 ms → twa = 2.0
     assert est["c3"]["twa"] == 2.0 and est["c3"]["duration_ms"] == 1000
+
+
+def test_interpolated_estimates(spark):
+    from gorilla_tsc_spark.operators.timeweight import (
+        twa_interpolated_estimates)
+    H = HOUR_MS
+    rows = [
+        # c1: two adjacent hour buckets + a later third, values step 2→4→8
+        ("c1", 0, 2.0), ("c1", H - 600_000, 4.0),      # bucket 0
+        ("c1", H + 600_000, 8.0),                      # bucket H
+        ("c1", 3 * H + 600_000, 6.0),                  # bucket 3H (isolated tail)
+        # c2: single isolated bucket — must equal plain twa_estimates
+        ("c2", 10 * H + 100, 5.0), ("c2", 10 * H + 1100, 7.0),
+    ]
+    pts = spark.createDataFrame(rows, "conv_id string, ts_ms long, v double")
+    tier = twa_tier(pts, H)
+    est = {(r["conv_id"], r["bucket"]): r for r in
+           twa_interpolated_estimates(tier, H).collect()}
+
+    # c1 bucket 0: no prev (head falls back to first_ts) but has next →
+    # covered [0, H); integral = 2*(H-600k) (in-bucket) + 4*600k (tail)
+    b0 = est[("c1", 0)]
+    assert b0["covered_ms"] == H
+    want0 = (2.0 * (H - 600_000) + 4.0 * 600_000) / H
+    assert math.isclose(b0["twa_interp"], want0, rel_tol=1e-12)
+
+    # c1 bucket H: prev exists (head: 4.0 held for 600k) and next exists
+    # (tail: 8.0 held for H-600k) → covered the full hour
+    b1 = est[("c1", H)]
+    assert b1["covered_ms"] == H
+    want1 = (4.0 * 600_000 + 0.0 + 8.0 * (H - 600_000)) / H
+    assert math.isclose(b1["twa_interp"], want1, rel_tol=1e-12)
+
+    # c1 bucket 3H: prev exists, no next → covered [3H, last_ts];
+    # single point, wsum 0, head = 8.0 * 600k over 600k → 8.0
+    b3 = est[("c1", 3 * H)]
+    assert b3["covered_ms"] == 600_000
+    assert math.isclose(b3["twa_interp"], 8.0, rel_tol=1e-12)
+
+    # c2: isolated bucket ≡ plain twa_estimates (LOCF 5.0 over 1000 ms)
+    c2 = est[("c2", 10 * H)]
+    assert c2["covered_ms"] == 1000
+    assert math.isclose(c2["twa_interp"], 5.0, rel_tol=1e-12)
