@@ -1,0 +1,120 @@
+"""Randomized adversarial-shape gate for the round-4 tier families
+(correlate / timeweight / heartbeat): per seed, a synthetic corpus with
+timestamp TIES, multi-day silences, bursts, and singleton series —
+shapes the transcript-derived corpus doesn't stress — must satisfy the
+two family laws on every run:
+
+  cascade law:  merge(fine 1h tier → 1d)  ≡  direct 1d build
+  refresh law:  refresh(tier(on_time), late) ≡ rebuild(all points)
+
+(the repo's "8 random corpora" house pattern, cf. test_topk_tier.py)."""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gorilla_tsc_spark.operators.correlate import (cascade_corr_tier,
+                                                   corr_tier,
+                                                   refresh_corr_tier)
+from gorilla_tsc_spark.operators.heartbeat import (cascade_heartbeat_tier,
+                                                   heartbeat_tier,
+                                                   refresh_heartbeat_tier)
+from gorilla_tsc_spark.operators.rollup import DAY_MS, HOUR_MS
+from gorilla_tsc_spark.operators.timeweight import (cascade_twa_tier,
+                                                    refresh_twa_tier,
+                                                    twa_tier)
+
+HB = 5 * 60_000
+BASE = 1_700_000_000_000
+
+
+def _corpus(seed: int):
+    """~8 series of 1..120 points: bursts (Δ≈seconds), silences
+    (Δ up to 3 days), exact ts ties, integer-valued channels."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for s in range(8):
+        n = int(rng.randint(1, 120))
+        gaps = rng.choice(
+            [0, 0, 1_000, 47_000, HOUR_MS, DAY_MS, 3 * DAY_MS],
+            size=n, p=[.15, .1, .3, .2, .15, .07, .03])
+        ts = BASE + np.cumsum(gaps).astype(np.int64)
+        x = rng.randint(0, 2_000, size=n).astype(np.float64)
+        y = rng.randint(0, 500, size=n).astype(np.float64)
+        rows += [(f"s{seed}_{s}", int(t), float(a), float(b))
+                 for t, a, b in zip(ts, x, y)]
+    return rows
+
+
+def _key(df, cols):
+    out = {}
+    for r in df.collect():
+        out[(r["conv_id"], r["bucket"])] = tuple(r[c] for c in cols)
+    return out
+
+
+def _assert_close(a, b, label):
+    assert set(a) == set(b), label
+    for k, va in a.items():
+        for x, y in zip(va, b[k]):
+            if isinstance(x, float):
+                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-6), \
+                    (label, k)
+            else:
+                assert x == y, (label, k)
+
+
+def test_family_laws_on_adversarial_corpora(spark):
+    for seed in (0, 1, 2, 3):
+        pts = spark.createDataFrame(
+            _corpus(seed),
+            "conv_id string, ts_ms long, x double, y double").cache()
+        late = pts.where(F.xxhash64("conv_id", "ts_ms", "x") % 4 == 0)
+        on_time = pts.exceptAll(late).cache()
+        beats = pts.select("conv_id", "ts_ms")
+
+        # --- correlate: sums merge, refresh is pure sum-merge
+        ccols = ("n", "sx", "sy", "sxx", "syy", "sxy")
+        fine = corr_tier(pts, HOUR_MS, "x", "y")
+        _assert_close(_key(cascade_corr_tier(fine, HOUR_MS, DAY_MS), ccols),
+                      _key(corr_tier(pts, DAY_MS, "x", "y"), ccols),
+                      f"corr cascade seed={seed}")
+        _assert_close(
+            _key(refresh_corr_tier(corr_tier(on_time, HOUR_MS, "x", "y"),
+                                   late, HOUR_MS, "x", "y"), ccols),
+            _key(fine, ccols), f"corr refresh seed={seed}")
+
+        # --- timeweight: seam bridges, bucket rebuild on refresh
+        tcols = ("n", "first_ts", "first_v", "last_ts", "last_v", "wsum")
+        pv = pts.withColumnRenamed("x", "v")
+        fine = twa_tier(pv, HOUR_MS)
+        _assert_close(_key(cascade_twa_tier(fine, HOUR_MS, DAY_MS), tcols),
+                      _key(twa_tier(pv, DAY_MS), tcols),
+                      f"twa cascade seed={seed}")
+        _assert_close(
+            _key(refresh_twa_tier(
+                twa_tier(on_time.withColumnRenamed("x", "v"), HOUR_MS),
+                late.withColumnRenamed("x", "v"),
+                on_time.withColumnRenamed("x", "v"), HOUR_MS), tcols),
+            _key(fine, tcols), f"twa refresh seed={seed}")
+
+        # --- heartbeat: seam gaps, interruption un-counting on refresh
+        hcols = ("n", "first_ts", "last_ts", "live_ms", "max_gap_ms",
+                 "interruptions")
+        fine = heartbeat_tier(beats, HOUR_MS, HB)
+        _assert_close(
+            _key(cascade_heartbeat_tier(fine, HOUR_MS, DAY_MS, HB), hcols),
+            _key(heartbeat_tier(beats, DAY_MS, HB), hcols),
+            f"hb cascade seed={seed}")
+        _assert_close(
+            _key(refresh_heartbeat_tier(
+                heartbeat_tier(on_time.select("conv_id", "ts_ms"),
+                               HOUR_MS, HB),
+                late.select("conv_id", "ts_ms"),
+                on_time.select("conv_id", "ts_ms"), HOUR_MS, HB), hcols),
+            _key(fine, hcols), f"hb refresh seed={seed}")
+
+        pts.unpersist()
+        on_time.unpersist()
