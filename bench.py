@@ -5,7 +5,7 @@ Prints ONE compact JSON line as the FINAL stdout line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
    "encode_turns_per_sec": ..., "bytes_per_point": ...,
-   "vs_r3": {name: cur/prev ratio, ...}, "detail": <path>}
+   "vs_prev": {name: cur/prev ratio, ...}, "detail": <path>}
 
 The driver captures only the LAST ~2000 bytes of output, so the core
 line is budget-enforced (< ~1900 bytes: progressive field drops, never
@@ -379,7 +379,7 @@ def main() -> None:
             prev_q = json.load(fh).get("queries", {})
     except (OSError, ValueError):
         pass
-    vs_r3 = {k: round(v / prev_q[k], 2)
+    vs_prev = {k: round(v / prev_q[k], 2)
              for k, v in timings.items()
              if k in prev_q and prev_q[k] > 0}
 
@@ -417,7 +417,7 @@ def main() -> None:
         "cores": cores,
         "bench_reps": reps,
         "noise_spread": spreads,
-        "vs_r3": vs_r3,
+        "vs_prev": vs_prev,
     }
     try:
         os.makedirs(os.path.dirname(detail_path), exist_ok=True)
@@ -439,12 +439,12 @@ def main() -> None:
         "bytes_per_point_span_auto": detail["bytes_per_point_span_auto"],
         "cores": cores,
         "bench_reps": reps,
-        "vs_r3": vs_r3,
+        "vs_prev": vs_prev,
         "detail": os.path.relpath(detail_path, here),
     }
     # hard budget: the driver's tail capture is ~2000 bytes and parses
     # only the final line — drop fields (never truncate) until it fits
-    for drop in ("vs_r3", "queries", "n_turns"):
+    for drop in ("vs_prev", "queries", "n_turns"):
         if len(json.dumps(core)) <= 1900:
             break
         core.pop(drop, None)
