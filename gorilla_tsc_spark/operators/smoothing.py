@@ -20,12 +20,15 @@ Why Python is the right path HERE and nowhere upstream: the recursion
 has a closed form (a decay-weighted prefix sum) but its stable
 evaluation needs per-chunk renormalisation — exp(+Σlog d) overflows a
 double within ~1k rows at hourly grain — so the honest distributed
-shape is one Arrow batch per series over TIER rows: the input is the
-(series, bucket) tier (one row per bucket — thousands per series at
-most), never raw points.  Work per series is one O(n) pass; the
-groupBy key is the same series key every tier already shuffles on, so
-at 100 TB this adds one Arrow hop over tier-sized data and zero new
-shuffles of point-sized data.
+shape is Arrow batches over TIER rows: repartition by series, sort
+within partitions, one ``mapInPandas`` pass that carries the level
+across batch boundaries.  The input is the (series, bucket) tier (one
+row per bucket), never raw points; the shuffle key is the same series
+key every tier already shuffles on, so at 100 TB this adds one Arrow
+hop over tier-sized data and zero new shuffles of point-sized data.
+(Per-series ``applyInPandas`` would be semantically identical but pays
+a pandas-frame construction per series — measured to dominate the
+serve wall at ~10k small series per executor.)
 """
 from __future__ import annotations
 
@@ -57,7 +60,7 @@ def _ewma_numpy(ts: np.ndarray, x: np.ndarray, halflife_ms: float
             s = d * s + (1.0 - d) * xi
         prev_ts = ts[i]
         out[i] = s
-    return out
+    return out, s, prev_ts
 
 
 def ewma_serve(tier: DataFrame, value_col: str, halflife_ms: int,
@@ -65,16 +68,53 @@ def ewma_serve(tier: DataFrame, value_col: str, halflife_ms: int,
                out_col: str = "ewma") -> DataFrame:
     """Add a half-life-decayed EWMA of ``value_col`` per series,
     ordered by ``ts_col``.  Input should be a tier (one row per
-    (series, bucket)); output keeps every input column."""
+    (series, bucket)); output keeps every input column.
+
+    Shape: repartition by series + sort within partitions, then ONE
+    ``mapInPandas`` pass — the recursion crosses Arrow-batch boundaries
+    by carrying (series, level, last_ts), so a partition is processed
+    in a handful of large batches instead of one pandas frame per
+    series (``applyInPandas``'s per-group frame cost dominated the
+    serve wall: the recursion itself is ~25 ms for 40k rows).
+    """
     schema = StructType(
         tier.schema.fields + [StructField(out_col, DoubleType(), True)])
     key_cols = list(keys)
+    hl = float(halflife_ms)
 
-    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
-        ts = pdf[ts_col].to_numpy(dtype=np.float64)
-        x = pdf[value_col].to_numpy(dtype=np.float64)  # None → NaN
-        pdf[out_col] = _ewma_numpy(ts, x, float(halflife_ms))
-        return pdf
+    def smooth(batches):
+        carry_key, carry_s, carry_ts = None, math.nan, 0.0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                pdf[out_col] = np.empty(0, dtype=np.float64)
+                yield pdf
+                continue
+            karrs = [pdf[k].to_numpy() for k in key_cols]
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for a in karrs:
+                change[1:] |= a[1:] != a[:-1]
+            starts = np.flatnonzero(change)
+            ts = pdf[ts_col].to_numpy(dtype=np.float64)
+            x = pdf[value_col].to_numpy(dtype=np.float64)  # None → NaN
+            out = np.empty(n, dtype=np.float64)
+            for j, lo in enumerate(starts):
+                hi = starts[j + 1] if j + 1 < len(starts) else n
+                key = tuple(a[lo] for a in karrs)
+                if key == carry_key and not math.isnan(carry_s):
+                    # splice the carried level in as a virtual 0th row
+                    seg_ts = np.concatenate(([carry_ts], ts[lo:hi]))
+                    seg_x = np.concatenate(([carry_s], x[lo:hi]))
+                    vals, carry_s, carry_ts = _ewma_numpy(seg_ts, seg_x, hl)
+                    out[lo:hi] = vals[1:]
+                else:
+                    out[lo:hi], carry_s, carry_ts = _ewma_numpy(
+                        ts[lo:hi], x[lo:hi], hl)
+                carry_key = key
+            pdf[out_col] = out
+            yield pdf
 
-    return tier.groupBy(*key_cols).applyInPandas(smooth, schema=schema)
+    parts = tier.repartition(*key_cols).sortWithinPartitions(
+        *key_cols, ts_col)
+    return parts.mapInPandas(smooth, schema=schema)

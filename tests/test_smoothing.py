@@ -80,3 +80,29 @@ def test_halflife_nulls_and_forgetting(spark):
     assert out[HL] == pytest.approx(5.0)          # 0.5·10 + 0.5·0
     assert out[HL + 1] == pytest.approx(5.0)      # carried, no decay
     assert out[HL + 1000 * HL] == pytest.approx(7.0, abs=1e-9)
+
+
+def test_carry_across_arrow_batches(spark):
+    # force tiny Arrow batches so one series SPANS many mapInPandas
+    # batches — the carried (level, last_ts) must make the result
+    # identical to the single-batch answer
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        ts = [i * HOUR_MS for i in range(200)]
+        vals = [float((i * 131) % 17) for i in range(200)]
+        df = spark.createDataFrame(
+            [("c", t, v) for t, v in zip(ts, vals)],
+            "conv_id string, bucket long, vsum double").coalesce(1)
+        spark.conf.set(key, "7")
+        tiny = (ewma_serve(df, "vsum", HL).orderBy("bucket")
+                .select("ewma").toPandas()["ewma"].to_numpy())
+        spark.conf.set(key, "100000")
+        whole = (ewma_serve(df, "vsum", HL).orderBy("bucket")
+                 .select("ewma").toPandas()["ewma"].to_numpy())
+        assert tiny == pytest.approx(whole, rel=1e-12)
+        alpha = 1 - 2.0 ** (-HOUR_MS / HL)
+        want = pd.Series(vals).ewm(alpha=alpha, adjust=False).mean()
+        assert tiny == pytest.approx(want.to_numpy(), rel=1e-12)
+    finally:
+        spark.conf.set(key, old)
