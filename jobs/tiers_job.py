@@ -1,0 +1,107 @@
+"""spark-submit entry point building the round-4 tier families from a
+block-store warehouse: cross-channel correlation, time-weighted
+average, and heartbeat/uptime — each at a fine grain plus one cascaded
+coarse grain, written as parquet tier tables under --out.
+
+Decode happens ONCE (all three families share the exploded points),
+optionally narrowed to the channels actually used; every downstream
+step is tier-sized.  Prints one JSON line of per-tier row counters.
+
+Usage (cluster):
+    spark-submit --py-files engine.zip jobs/tiers_job.py \\
+        --warehouse s3://lake/gorilla --out s3://lake/gorilla_tiers \\
+        [--x-channel len --y-channel words] [--twa-channel len] \\
+        [--hb-ms 300000] [--bucket-ms 3600000] [--coarse-ms 86400000]
+
+Usage (sandbox):
+    python jobs/tiers_job.py --warehouse /tmp/wh --out /tmp/tiers
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--x-channel", default="len")
+    ap.add_argument("--y-channel", default="words")
+    ap.add_argument("--twa-channel", default="len")
+    ap.add_argument("--hb-ms", type=int, default=5 * 60_000)
+    ap.add_argument("--bucket-ms", type=int, default=3_600_000)
+    ap.add_argument("--coarse-ms", type=int, default=86_400_000)
+    ap.add_argument("--predictor", default=None,
+                    help="store's encode-time predictor; must match")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from gorilla_tsc_spark.operators.correlate import (cascade_corr_tier,
+                                                       corr_tier)
+    from gorilla_tsc_spark.operators.encode import (block_value_column,
+                                                    decode_blocks)
+    from gorilla_tsc_spark.operators.heartbeat import (
+        cascade_heartbeat_tier, heartbeat_tier)
+    from gorilla_tsc_spark.operators.timeweight import (cascade_twa_tier,
+                                                        twa_tier)
+    from gorilla_tsc_spark.pipeline import read_blocks
+    from gorilla_tsc_spark.session import get_spark
+
+    spark = get_spark("tiers-job", cores=args.cores)
+    chans = {args.x_channel, args.y_channel, args.twa_channel}
+    blocks = read_blocks(spark, args.warehouse).where(
+        F.col("channel").isin(*chans))
+    pts = (decode_blocks(blocks, args.predictor)
+           .select("conv_id", "channel", "ts_ms",
+                   block_value_column().alias("v"))
+           .persist())
+
+    counters: dict[str, int] = {"points_decoded": pts.count()}
+
+    def write(name: str, df) -> None:
+        path = os.path.join(args.out, name)
+        df.write.mode("overwrite").parquet(path)
+        counters[name] = spark.read.parquet(path).count()
+
+    # correlation: pivot the two channels to per-turn (x, y) pairs
+    xy = (pts.where(F.col("channel").isin(args.x_channel, args.y_channel))
+          .groupBy("conv_id", "ts_ms").pivot(
+              "channel", [args.x_channel, args.y_channel]).agg(F.first("v"))
+          .select("conv_id", "ts_ms",
+                  F.col(args.x_channel).alias("x"),
+                  F.col(args.y_channel).alias("y")))
+    corr_fine = corr_tier(xy, args.bucket_ms)
+    write("corr_fine", corr_fine)
+    write("corr_coarse", cascade_corr_tier(
+        spark.read.parquet(os.path.join(args.out, "corr_fine")),
+        args.bucket_ms, args.coarse_ms))
+
+    # time-weighted average over the chosen channel
+    twa_pts = pts.where(F.col("channel") == args.twa_channel)
+    write("twa_fine", twa_tier(twa_pts, args.bucket_ms))
+    write("twa_coarse", cascade_twa_tier(
+        spark.read.parquet(os.path.join(args.out, "twa_fine")),
+        args.bucket_ms, args.coarse_ms))
+
+    # heartbeat/uptime over the turn timestamps (any one channel's
+    # points carry every turn's ts; pick the twa channel)
+    write("hb_fine", heartbeat_tier(twa_pts.select("conv_id", "ts_ms"),
+                                    args.bucket_ms, args.hb_ms))
+    write("hb_coarse", cascade_heartbeat_tier(
+        spark.read.parquet(os.path.join(args.out, "hb_fine")),
+        args.bucket_ms, args.coarse_ms, args.hb_ms))
+
+    pts.unpersist()
+    print(json.dumps(counters))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

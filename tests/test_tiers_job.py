@@ -1,0 +1,61 @@
+"""jobs/tiers_job.py end-to-end: against a run_pipeline warehouse the
+job's written tier tables must equal direct operator builds over the
+decoded points (guards the job's channel pivot and cascade wiring)."""
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from gorilla_tsc_spark.operators.correlate import corr_tier
+from gorilla_tsc_spark.operators.encode import (block_value_column,
+                                                decode_blocks)
+from gorilla_tsc_spark.operators.heartbeat import heartbeat_tier
+from gorilla_tsc_spark.operators.rollup import HOUR_MS
+from gorilla_tsc_spark.operators.timeweight import twa_tier
+from gorilla_tsc_spark.pipeline import read_blocks, run_pipeline
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
+    from gorilla_tsc_spark.queries import _transcripts
+    wh = str(tmp_path_factory.mktemp("wh"))
+    out = str(tmp_path_factory.mktemp("tiers"))
+    t = _transcripts(spark, "/root/testdata/sf0.001")
+    run_pipeline(spark, t, wh, points_per_block=256)
+
+    import jobs.tiers_job as job
+    monkeypatch.setattr(sys, "argv", [
+        "tiers_job.py", "--warehouse", wh, "--out", out, "--cores", "8"])
+    # the job ends with spark.stop(); it shares the pytest session via
+    # getOrCreate, so neuter stop for the in-process invocation
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    job.main()
+    counters = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counters["points_decoded"] > 0
+
+    pts = (decode_blocks(read_blocks(spark, wh)
+                         .where(F.col("channel").isin("len", "words")))
+           .select("conv_id", "channel", "ts_ms",
+                   block_value_column().alias("v")).cache())
+    xy = (pts.groupBy("conv_id", "ts_ms").pivot("channel", ["len", "words"])
+          .agg(F.first("v"))
+          .select("conv_id", "ts_ms", F.col("len").alias("x"),
+                  F.col("words").alias("y")))
+    lenpts = pts.where(F.col("channel") == "len")
+
+    assert (_rows(spark.read.parquet(f"{out}/corr_fine"))
+            == _rows(corr_tier(xy, HOUR_MS)))
+    assert (_rows(spark.read.parquet(f"{out}/twa_fine"))
+            == _rows(twa_tier(lenpts, HOUR_MS)))
+    assert (_rows(spark.read.parquet(f"{out}/hb_fine"))
+            == _rows(heartbeat_tier(lenpts.select("conv_id", "ts_ms"),
+                                    HOUR_MS, 5 * 60_000)))
+    for name in ("corr_coarse", "twa_coarse", "hb_coarse"):
+        assert counters[name] > 0
+    pts.unpersist()
