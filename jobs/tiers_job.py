@@ -70,10 +70,12 @@ def main() -> None:
         df.write.mode("overwrite").parquet(path)
         counters[name] = spark.read.parquet(path).count()
 
-    # correlation: pivot the two channels to per-turn (x, y) pairs
+    # correlation: pivot the two channels to per-turn (x, y) pairs.
+    # max() (not first()) keeps the pairing deterministic if two turns
+    # ever share (conv_id, ts_ms) — first() is partition-order-dependent
     xy = (pts.where(F.col("channel").isin(args.x_channel, args.y_channel))
           .groupBy("conv_id", "ts_ms").pivot(
-              "channel", [args.x_channel, args.y_channel]).agg(F.first("v"))
+              "channel", [args.x_channel, args.y_channel]).agg(F.max("v"))
           .select("conv_id", "ts_ms",
                   F.col(args.x_channel).alias("x"),
                   F.col(args.y_channel).alias("y")))

@@ -44,7 +44,7 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
            .select("conv_id", "channel", "ts_ms",
                    block_value_column().alias("v")).cache())
     xy = (pts.groupBy("conv_id", "ts_ms").pivot("channel", ["len", "words"])
-          .agg(F.first("v"))
+          .agg(F.max("v"))
           .select("conv_id", "ts_ms", F.col("len").alias("x"),
                   F.col("words").alias("y")))
     lenpts = pts.where(F.col("channel") == "len")
