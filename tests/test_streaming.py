@@ -157,3 +157,41 @@ def test_stream_encode_blocks_decode(spark, transcripts_dir, tmp_path):
         expect = dict(sorted(src[key]))
         for t, v in zip(ts_dec.tolist(), vals.tolist()):
             assert expect[t] == v
+
+
+def test_stream_heartbeat_matches_batch(spark, transcripts_dir, tmp_path):
+    """Every watermark-sealed streaming heartbeat row must bit-equal
+    the batch heartbeat_tier row for the same (conv, bucket); a
+    far-future sentinel advances the final watermark so EVERY bucket
+    seals under the bounded replay → full-set equality, not subset."""
+    from datetime import timedelta
+
+    from gorilla_tsc_spark.operators.heartbeat import heartbeat_tier
+    from gorilla_tsc_spark.operators.rollup import HOUR_MS
+    from gorilla_tsc_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+    from gorilla_tsc_spark.streaming import stream_heartbeat_tier
+
+    HB = 5 * 60_000
+    batch_t = spark.read.parquet(transcripts_dir)
+    replay = str(tmp_path / "replay")
+    batch_t.write.parquet(replay)
+    max_ts = batch_t.agg(F.max("ts")).first()[0]
+    spark.createDataFrame(
+        [("__sentinel__", 0, "user", "x", None, max_ts + timedelta(days=3))],
+        schema=TRANSCRIPTS_SCHEMA).write.mode("append").parquet(replay)
+
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(replay)
+    out = stream_heartbeat_tier(stream, HOUR_MS, HB)
+    q = (out.writeStream.format("memory").queryName("hb_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_hb"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = (spark.sql("SELECT * FROM hb_stream")
+           .where(F.col("conv_id") != "__sentinel__"))
+
+    beats = batch_t.select("conv_id", F.unix_millis("ts").alias("ts_ms"))
+    want = heartbeat_tier(beats, HOUR_MS, HB)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
