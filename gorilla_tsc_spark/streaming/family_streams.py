@@ -1,0 +1,123 @@
+"""Streaming twins for the remaining round-4 tier families.
+
+Correlation needs NO state operator: its summary is six plain sums per
+(series, bucket) — order-insensitive — so the streaming build is a
+watermarked windowed aggregation (pure JVM, append mode), the same
+shape as `stream_rollup_1m`.  Rows bit-equal the batch `corr_tier`.
+
+Time-weighted average DOES need ordering (the LOCF integral walks
+consecutive in-bucket pairs), so it follows the heartbeat/encoder
+pattern: buffer one (series, bucket)'s points in `applyInPandasWithState`,
+seal the exact batch `twa_tier` row when the event-time watermark
+passes the bucket's end.  Like heartbeat, the family's summary is
+within-bucket by design (seams belong to the cascade), so no
+cross-bucket state exists to lose.
+"""
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_corr_tier(transcripts_stream: DataFrame, window: str = "1 hour",
+                     watermark: str = "10 minutes") -> DataFrame:
+    """Transcript stream → watermark-sealed correlation tier rows
+    (x = chars per turn, y = whitespace tokens per turn), bit-equal to
+    the batch `corr_tier` at the same grain: every statistic is a sum
+    of integer-valued doubles, exact in any arrival order."""
+    x = F.length("text").cast("double")
+    y = F.size(F.split("text", r"\s+")).cast("double")
+    pts = transcripts_stream.select(
+        "conv_id", F.col("ts").cast("timestamp").alias("ts"),
+        x.alias("x"), y.alias("y"))
+    agg = (pts.withWatermark("ts", watermark)
+           .groupBy("conv_id", F.window("ts", window).alias("w"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    return agg.select("conv_id",
+                      F.unix_millis(F.col("w.start")).alias("bucket"),
+                      "n", "sx", "sy", "sxx", "syy", "sxy")
+
+
+STREAM_TWA_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("bucket", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("first_ts", T.LongType()),
+    T.StructField("first_v", T.DoubleType()),
+    T.StructField("last_ts", T.LongType()),
+    T.StructField("last_v", T.DoubleType()),
+    T.StructField("wsum", T.DoubleType()),
+])
+
+TWA_STATE_SCHEMA = T.StructType([
+    T.StructField("ts", T.ArrayType(T.LongType())),
+    T.StructField("v", T.ArrayType(T.DoubleType())),
+])
+
+
+def _seal_twa_row(conv_id: str, bucket: int, ts_l: list, v_l: list) -> dict:
+    a = np.lexsort((np.asarray(v_l, np.float64),
+                    np.asarray(ts_l, np.int64)))  # (ts, v) tie order
+    ts = np.asarray(ts_l, np.int64)[a]
+    v = np.asarray(v_l, np.float64)[a]
+    wsum = float((v[:-1] * np.diff(ts)).sum()) if len(ts) > 1 else 0.0
+    return {"conv_id": conv_id, "bucket": bucket, "n": int(len(ts)),
+            "first_ts": int(ts[0]), "first_v": float(v[0]),
+            "last_ts": int(ts[-1]), "last_v": float(v[-1]), "wsum": wsum}
+
+
+def make_twa_state_fn(bucket_ms: int):
+    def fn(key, pdf_iter: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        conv_id, bucket = key[0], int(key[1])
+        if state.hasTimedOut:
+            ts_l, v_l = state.get
+            state.remove()
+            if ts_l:
+                yield pd.DataFrame(
+                    [_seal_twa_row(conv_id, bucket, ts_l, v_l)],
+                    columns=[f.name for f in STREAM_TWA_SCHEMA.fields])
+            return
+        ts_l, v_l = (state.get if state.exists else ([], []))
+        ts_l, v_l = list(ts_l), list(v_l)
+        for pdf in pdf_iter:
+            ts_l.extend(pdf["ts_ms"].astype("int64").tolist())
+            v_l.extend(pdf["v"].astype("float64").tolist())
+        state.update((ts_l, v_l))
+        state.setTimeoutTimestamp(
+            max(bucket + bucket_ms, state.getCurrentWatermarkMs() + 1))
+
+    return fn
+
+
+def stream_twa_tier(transcripts_stream: DataFrame, bucket_ms: int,
+                    delay: str = "10 minutes") -> DataFrame:
+    """Transcript stream → watermark-sealed time-weight tier rows over
+    the turn-length channel, bit-equal to the batch `twa_tier`."""
+    pts = (transcripts_stream
+           .withWatermark("ts", delay)
+           .select(
+               "conv_id",
+               (F.floor(F.unix_millis(F.col("ts").cast("timestamp"))
+                        / bucket_ms) * bucket_ms)
+               .cast("long").alias("bucket"),
+               F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+               F.length("text").cast("double").alias("v"),
+               "ts"))
+    return pts.groupBy("conv_id", "bucket").applyInPandasWithState(
+        make_twa_state_fn(bucket_ms),
+        outputStructType=STREAM_TWA_SCHEMA,
+        stateStructType=TWA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -195,3 +195,50 @@ def test_stream_heartbeat_matches_batch(spark, transcripts_dir, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_corr_and_twa_match_batch(spark, transcripts_dir, tmp_path):
+    """Streaming twins for the remaining round-4 families: corr (pure
+    watermarked sums, order-insensitive) full-set-equals the batch tier
+    under sentinel replay; twa (stateful LOCF integral) likewise."""
+    from datetime import timedelta
+
+    from gorilla_tsc_spark.operators.correlate import corr_tier
+    from gorilla_tsc_spark.operators.rollup import HOUR_MS
+    from gorilla_tsc_spark.operators.timeweight import twa_tier
+    from gorilla_tsc_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+    from gorilla_tsc_spark.streaming import stream_corr_tier, stream_twa_tier
+
+    batch_t = spark.read.parquet(transcripts_dir)
+    replay = str(tmp_path / "replay2")
+    batch_t.write.parquet(replay)
+    max_ts = batch_t.agg(F.max("ts")).first()[0]
+    spark.createDataFrame(
+        [("__sentinel__", 0, "user", "x", None, max_ts + timedelta(days=3))],
+        schema=TRANSCRIPTS_SCHEMA).write.mode("append").parquet(replay)
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(replay)
+
+    for name, out, want in (
+        ("corr_stream",
+         stream_corr_tier(stream, window="1 hour"),
+         corr_tier(batch_t.select(
+             "conv_id", F.unix_millis("ts").alias("ts_ms"),
+             F.length("text").cast("double").alias("x"),
+             F.size(F.split("text", r"\s+")).cast("double").alias("y")),
+             HOUR_MS)),
+        ("twa_stream",
+         stream_twa_tier(stream, HOUR_MS),
+         twa_tier(batch_t.select(
+             "conv_id", F.unix_millis("ts").alias("ts_ms"),
+             F.length("text").cast("double").alias("v")), HOUR_MS)),
+    ):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = (spark.sql(f"SELECT * FROM {name}")
+               .where(F.col("conv_id") != "__sentinel__"))
+        assert got.count() == want.count(), name
+        assert got.exceptAll(want).count() == 0, name
+        assert want.exceptAll(got).count() == 0, name
