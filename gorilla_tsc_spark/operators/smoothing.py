@@ -41,53 +41,73 @@ from pyspark.sql import functions as F  # noqa: F401  (callers' idiom)
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 
-def _ewma_numpy(ts: np.ndarray, x: np.ndarray, halflife_ms: float
-                ) -> np.ndarray:
-    """Reference recursion, one O(n) pass; null x holds the level."""
-    out = np.empty(len(x), dtype=np.float64)
-    s = math.nan
-    prev_ts = 0.0
+def _ewma_numpy(ts: np.ndarray, x: np.ndarray, halflife_ms: float,
+                s: float = math.nan, var: float = 0.0,
+                prev_ts: float = 0.0):
+    """Reference recursion, one O(n) pass; null x holds the level.
+
+    Alongside the level it maintains the exponentially-weighted
+    variance of the one-step innovations (Welford-style EW form,
+    the RiskMetrics recursion):  var ← d·var + d·(1−d)·(x−s_prev)²
+    — the d·(1−d) weighting makes a constant series decay to zero
+    variance and a level shift register at full weight.  The pair
+    (level, var) is what EWMA-band anomaly detection serves.
+    """
+    n = len(x)
+    out = np.empty(n, dtype=np.float64)
+    out_var = np.empty(n, dtype=np.float64)
     log2 = math.log(2.0)
-    for i in range(len(x)):
+    for i in range(n):
         xi = x[i]
         if math.isnan(xi):
             out[i] = s  # carry the level; nothing observed to move toward
+            out_var[i] = var
             continue
         if math.isnan(s):
             s = xi
         else:
             d = math.exp(-log2 * (ts[i] - prev_ts) / halflife_ms)
+            diff = xi - s
+            var = d * var + d * (1.0 - d) * diff * diff
             s = d * s + (1.0 - d) * xi
         prev_ts = ts[i]
         out[i] = s
-    return out, s, prev_ts
+        out_var[i] = var
+    return out, out_var, s, var, prev_ts
 
 
 def ewma_serve(tier: DataFrame, value_col: str, halflife_ms: int,
                keys=("conv_id",), ts_col: str = "bucket",
-               out_col: str = "ewma") -> DataFrame:
+               out_col: str = "ewma",
+               var_col: str | None = None) -> DataFrame:
     """Add a half-life-decayed EWMA of ``value_col`` per series,
-    ordered by ``ts_col``.  Input should be a tier (one row per
+    ordered by ``ts_col``; with ``var_col`` set, also the EW innovation
+    variance from the same pass.  Input should be a tier (one row per
     (series, bucket)); output keeps every input column.
 
     Shape: repartition by series + sort within partitions, then ONE
     ``mapInPandas`` pass — the recursion crosses Arrow-batch boundaries
-    by carrying (series, level, last_ts), so a partition is processed
-    in a handful of large batches instead of one pandas frame per
-    series (``applyInPandas``'s per-group frame cost dominated the
+    by carrying (series, level, var, last_ts), so a partition is
+    processed in a handful of large batches instead of one pandas frame
+    per series (``applyInPandas``'s per-group frame cost dominated the
     serve wall: the recursion itself is ~25 ms for 40k rows).
     """
-    schema = StructType(
-        tier.schema.fields + [StructField(out_col, DoubleType(), True)])
+    fields = tier.schema.fields + [StructField(out_col, DoubleType(), True)]
+    if var_col:
+        fields = fields + [StructField(var_col, DoubleType(), True)]
+    schema = StructType(fields)
     key_cols = list(keys)
     hl = float(halflife_ms)
 
     def smooth(batches):
-        carry_key, carry_s, carry_ts = None, math.nan, 0.0
+        carry_key = None
+        carry_s, carry_var, carry_ts = math.nan, 0.0, 0.0
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 pdf[out_col] = np.empty(0, dtype=np.float64)
+                if var_col:
+                    pdf[var_col] = np.empty(0, dtype=np.float64)
                 yield pdf
                 continue
             karrs = [pdf[k].to_numpy() for k in key_cols]
@@ -99,22 +119,49 @@ def ewma_serve(tier: DataFrame, value_col: str, halflife_ms: int,
             ts = pdf[ts_col].to_numpy(dtype=np.float64)
             x = pdf[value_col].to_numpy(dtype=np.float64)  # None → NaN
             out = np.empty(n, dtype=np.float64)
+            ovar = np.empty(n, dtype=np.float64)
             for j, lo in enumerate(starts):
                 hi = starts[j + 1] if j + 1 < len(starts) else n
                 key = tuple(a[lo] for a in karrs)
-                if key == carry_key and not math.isnan(carry_s):
-                    # splice the carried level in as a virtual 0th row
-                    seg_ts = np.concatenate(([carry_ts], ts[lo:hi]))
-                    seg_x = np.concatenate(([carry_s], x[lo:hi]))
-                    vals, carry_s, carry_ts = _ewma_numpy(seg_ts, seg_x, hl)
-                    out[lo:hi] = vals[1:]
-                else:
-                    out[lo:hi], carry_s, carry_ts = _ewma_numpy(
-                        ts[lo:hi], x[lo:hi], hl)
+                if key != carry_key:
+                    carry_s, carry_var, carry_ts = math.nan, 0.0, 0.0
+                (out[lo:hi], ovar[lo:hi],
+                 carry_s, carry_var, carry_ts) = _ewma_numpy(
+                    ts[lo:hi], x[lo:hi], hl, carry_s, carry_var, carry_ts)
                 carry_key = key
             pdf[out_col] = out
+            if var_col:
+                pdf[var_col] = ovar
             yield pdf
 
     parts = tier.repartition(*key_cols).sortWithinPartitions(
         *key_cols, ts_col)
     return parts.mapInPandas(smooth, schema=schema)
+
+
+def ewma_anomaly(tier: DataFrame, value_col: str, halflife_ms: int,
+                 k: float = 3.0, min_baseline: int = 3,
+                 keys=("conv_id",), ts_col: str = "bucket") -> DataFrame:
+    """EWMA-band anomaly detection: flag a row when its value deviates
+    from the PREVIOUS smoothed level by more than ``k`` EW standard
+    deviations (one-step-ahead prediction bands — the level/var pair
+    must not have seen the row it judges, hence the lag).  Complements
+    `counters.anomaly_zscore`: the EWMA band adapts at the half-life
+    and never pays a range-window scan; the z-score uses a hard
+    trailing window.  A ``min_baseline``-row warm-up suppresses the
+    cold-start (var starts at 0, which would flag the 2nd row)."""
+    from pyspark.sql.window import Window
+    sm = ewma_serve(tier, value_col, halflife_ms, keys, ts_col,
+                    out_col="ewma", var_col="ewma_var")
+    w = Window.partitionBy(*list(keys)).orderBy(ts_col)
+    pred = F.lag("ewma").over(w)
+    pvar = F.lag("ewma_var").over(w)
+    seen = F.row_number().over(w) - 1
+    dev = F.abs(F.col(value_col) - pred)
+    band = F.lit(float(k)) * F.sqrt(pvar)
+    return (sm
+            .withColumn("ewma_pred", pred)
+            .withColumn("ewma_band", band)
+            .withColumn("anomaly",
+                        F.coalesce((seen >= min_baseline) & (pvar > 0)
+                                   & (dev > band), F.lit(False))))

@@ -106,3 +106,62 @@ def test_carry_across_arrow_batches(spark):
         assert tiny == pytest.approx(want.to_numpy(), rel=1e-12)
     finally:
         spark.conf.set(key, old)
+
+
+def _ref_var(rows, halflife_ms):
+    """Independent EW innovation-variance recursion per series."""
+    by_key = {}
+    for conv, ts, v in rows:
+        by_key.setdefault(conv, []).append((ts, v))
+    out = {}
+    for conv, tv in by_key.items():
+        tv.sort()
+        s, var, prev = None, 0.0, None
+        for ts, v in tv:
+            if v is None:
+                out[(conv, ts)] = var
+                continue
+            if s is None:
+                s = v
+            else:
+                d = 2.0 ** (-(ts - prev) / halflife_ms)
+                var = d * var + d * (1 - d) * (v - s) ** 2
+                s = d * s + (1 - d) * v
+            prev = ts
+            out[(conv, ts)] = var
+    return out
+
+
+def test_ew_variance_matches_reference(spark):
+    from gorilla_tsc_spark.operators.rollup import rollup_points
+    from gorilla_tsc_spark.queries import _len_points
+    t1h = rollup_points(_len_points(spark, "/root/testdata/sf0.001"),
+                        HOUR_MS, F.col("v"), keys=("conv_id",)).cache()
+    got = {(r["conv_id"], r["bucket"]): r["ewma_var"]
+           for r in ewma_serve(t1h, "vsum", HL,
+                               var_col="ewma_var").collect()}
+    rows = [(r["conv_id"], r["bucket"], r["vsum"]) for r in t1h.collect()]
+    truth = _ref_var(rows, HL)
+    assert set(got) == set(truth)
+    for kk, v in got.items():
+        assert v == pytest.approx(truth[kk], rel=1e-9, abs=1e-9), kk
+    t1h.unpersist()
+
+
+def test_ewma_anomaly_bands(spark):
+    from gorilla_tsc_spark.operators.smoothing import ewma_anomaly
+    # steady series with mild jitter, one planted 20x spike
+    ts = [i * HOUR_MS for i in range(60)]
+    vals = [10.0 + (i % 3) * 0.5 for i in range(60)]
+    vals[40] = 200.0
+    df = spark.createDataFrame(
+        [("c", t, v) for t, v in zip(ts, vals)],
+        "conv_id string, bucket long, vsum double")
+    out = {r["bucket"] // HOUR_MS: r for r in
+           ewma_anomaly(df, "vsum", HL).collect()}
+    flagged = sorted(i for i, r in out.items() if r["anomaly"])
+    assert flagged == [40]
+    # warm-up rows never flag (min_baseline), even though var starts 0
+    assert not any(out[i]["anomaly"] for i in range(4))
+    # the spike's one-step prediction came from the pre-spike level
+    assert out[40]["ewma_pred"] == pytest.approx(out[39]["ewma"])
