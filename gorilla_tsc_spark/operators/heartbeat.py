@@ -131,6 +131,48 @@ def refresh_heartbeat_tier(tier: DataFrame, late_beats: DataFrame,
     return untouched.select(*out_cols).unionByName(rebuilt.select(*out_cols))
 
 
+def heartbeat_interpolated_estimates(tier: DataFrame, bucket_ms: int,
+                                     hb_ms: int,
+                                     keys=("conv_id",)) -> DataFrame:
+    """Serve uptime against the FULL bucket window (TimescaleDB's
+    heartbeat_agg uptime shape — public docs): a beat keeps the series
+    live for up to hb_ms, clipped to the bucket, so
+
+    - head: the PREVIOUS bucket's last beat may spill live time into
+      this bucket's start — max(0, min(prev_last_ts + hb, first_ts) −
+      bucket_start), capped at first_ts so in-bucket live time is
+      never double-counted;
+    - tail: the last beat extends liveness min(hb, bucket_end −
+      last_ts) — unconditionally: "alive for hb after a beat, then
+      dead" is the family's own rule, no future row needed;
+    - denominator: the full bucket when a previous tier row exists,
+      else [first_ts, bucket_end) (nothing is known before the first
+      beat ever seen).
+
+    Pure lag over tier rows + row-local arithmetic, like
+    `twa_interpolated_estimates`.
+    """
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(*keys).orderBy("bucket")
+    start = F.col("bucket")
+    end = F.col("bucket") + F.lit(bucket_ms)
+    prev_last = F.lag("last_ts").over(w)
+    head = F.when(
+        prev_last.isNotNull(),
+        F.greatest(F.lit(0),
+                   F.least(prev_last + hb_ms, F.col("first_ts")) - start)) \
+        .otherwise(F.lit(0))
+    tail = F.least(F.lit(hb_ms), end - F.col("last_ts"))
+    lo = F.when(prev_last.isNotNull(), start).otherwise(F.col("first_ts"))
+    span = (end - lo).cast("double")
+    live = F.col("live_ms") + head + tail
+    return (tier
+            .withColumn("window_ms", (end - lo).cast("long"))
+            .withColumn("live_interp_ms", live.cast("long"))
+            .withColumn("uptime_interp", live / span)
+            .withColumn("downtime_interp_ms", (span - live).cast("long")))
+
+
 def heartbeat_estimates(tier: DataFrame) -> DataFrame:
     """Serve: uptime ratio, downtime, worst gap, interruption count per
     tier row.  Zero-span buckets (one beat) serve ratio 1.0."""

@@ -103,3 +103,40 @@ def test_edges_and_serve(spark):
     c2 = est["c2"]
     assert c2["n"] == 1 and c2["uptime_ratio"] == 1.0
     assert c2["span_ms"] == 0 and c2["interruptions"] == 0
+
+
+def test_interpolated_uptime(spark):
+    from gorilla_tsc_spark.operators.heartbeat import (
+        heartbeat_interpolated_estimates)
+    m, H = 60_000, HOUR_MS
+    rows = [
+        # c1 bucket 0: beats at 50m and 58m; bucket H: beat at 10m past
+        ("c1", 50 * m), ("c1", 58 * m), ("c1", H + 10 * m),
+        # c2: single bucket, single beat at minute 30 — no prev
+        ("c2", 3 * H + 30 * m),
+    ]
+    beats = spark.createDataFrame(rows, "conv_id string, ts_ms long")
+    tier = heartbeat_tier(beats, H, HB)   # HB = 5m
+    est = {(r["conv_id"], r["bucket"]): r for r in
+           heartbeat_interpolated_estimates(tier, H, HB).collect()}
+
+    # c1 bucket 0: no prev → window [50m, 60m) = 10m;
+    # in-bucket live = min(8m, 5m) = 5m; tail = min(5m, 60m-58m) = 2m
+    b0 = est[("c1", 0)]
+    assert b0["window_ms"] == 10 * m
+    assert b0["live_interp_ms"] == 5 * m + 2 * m
+    assert b0["uptime_interp"] == (7 * m) / (10 * m)
+
+    # c1 bucket H: prev exists → full 60m window; head: prev_last 58m
+    # + 5m = 63m > first_ts(70m)? no — min(63m, 70m) − 60m = 3m;
+    # in-bucket live = 0 (single beat); tail = min(5m, 60m−10m) = 5m
+    b1 = est[("c1", H)]
+    assert b1["window_ms"] == H
+    assert b1["live_interp_ms"] == 3 * m + 5 * m
+    assert b1["downtime_interp_ms"] == H - 8 * m
+
+    # c2: no prev, single beat → window [30m, 60m), live = tail = 5m
+    c2 = est[("c2", 3 * H)]
+    assert c2["window_ms"] == 30 * m
+    assert c2["live_interp_ms"] == 5 * m
+    assert c2["uptime_interp"] == (5 * m) / (30 * m)
