@@ -159,9 +159,14 @@ def ewma_anomaly(tier: DataFrame, value_col: str, halflife_ms: int,
     seen = F.row_number().over(w) - 1
     dev = F.abs(F.col(value_col) - pred)
     band = F.lit(float(k)) * F.sqrt(pvar)
+    # no (pvar > 0) guard: on an exactly-constant baseline the variance
+    # decays to 0 and a genuine level shift must still flag.  The small
+    # absolute floor on dev only suppresses float jitter around a zero
+    # band, never a real deviation.
     return (sm
             .withColumn("ewma_pred", pred)
             .withColumn("ewma_band", band)
             .withColumn("anomaly",
-                        F.coalesce((seen >= min_baseline) & (pvar > 0)
-                                   & (dev > band), F.lit(False))))
+                        F.coalesce((seen >= min_baseline)
+                                   & (dev > band) & (dev > 1e-9),
+                                   F.lit(False))))

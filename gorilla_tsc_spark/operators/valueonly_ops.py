@@ -118,21 +118,23 @@ def _decode_iter(pdf_iter, word: int, cap: int):
                       vb.astype(np.uint32).view(np.float32)),
             })
             continue
-        rows_s, rows_i, rows_v = [], [], []
-        for r in pdf.itertuples(index=False):
-            dec = (Decompressor64 if word == 64 else Decompressor32)(
-                bytes(r.payload))
-            vals = dec.read_all()
-            v = vals.view(np.float64 if word == 64 else np.float32)
-            rows_s.append(np.repeat(r.series, len(v)))
-            rows_i.append(r.seq * cap + np.arange(len(v), dtype=np.int64))
-            rows_v.append(v)
-        if not rows_s:
+        # no-compiler fallback: the bit decode is per-block Python (the
+        # format is sequential), but the frame assembly is the same
+        # bulk shape as the native branch — one concatenated value
+        # buffer + vectorized run indexing per Arrow batch, never
+        # per-row pandas access
+        dec_cls = Decompressor64 if word == 64 else Decompressor32
+        vals = [dec_cls(p).read_all() for p in payloads]
+        lens = np.array([len(v) for v in vals], dtype=np.int64)
+        if not lens.sum():
             continue
+        vb = np.concatenate(vals)
+        idx = (np.repeat(pdf["seq"].to_numpy(np.int64), lens) * cap
+               + _within_run_index(lens))
         yield pd.DataFrame({
-            "series": np.concatenate(rows_s),
-            "idx": np.concatenate(rows_i),
-            "v": np.concatenate(rows_v),
+            "series": np.repeat(pdf["series"].to_numpy(), lens),
+            "idx": idx,
+            "v": vb.view(np.float64 if word == 64 else np.float32),
         })
 
 

@@ -33,9 +33,13 @@ def stream_corr_tier(transcripts_stream: DataFrame, window: str = "1 hour",
     of integer-valued doubles, exact in any arrival order."""
     x = F.length("text").cast("double")
     y = F.size(F.split("text", r"\s+")).cast("double")
-    pts = transcripts_stream.select(
-        "conv_id", F.col("ts").cast("timestamp").alias("ts"),
-        x.alias("x"), y.alias("y"))
+    # mirror the batch corr_tier's paired-observation filter: both x
+    # and y derive from text, so a null text row must not count in n
+    # while the sums skip it (that would skew cov/r vs the batch tier)
+    pts = (transcripts_stream
+           .where(F.col("text").isNotNull())
+           .select("conv_id", F.col("ts").cast("timestamp").alias("ts"),
+                   x.alias("x"), y.alias("y")))
     agg = (pts.withWatermark("ts", watermark)
            .groupBy("conv_id", F.window("ts", window).alias("w"))
            .agg(F.count(F.lit(1)).alias("n"),
@@ -104,7 +108,10 @@ def stream_twa_tier(transcripts_stream: DataFrame, bucket_ms: int,
                     delay: str = "10 minutes") -> DataFrame:
     """Transcript stream → watermark-sealed time-weight tier rows over
     the turn-length channel, bit-equal to the batch `twa_tier`."""
+    # batch twa_tier drops null v before integrating; a null text row
+    # would become NaN in _seal_twa_row and poison the whole bucket
     pts = (transcripts_stream
+           .where(F.col("text").isNotNull())
            .withWatermark("ts", delay)
            .select(
                "conv_id",

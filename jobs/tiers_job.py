@@ -40,6 +40,10 @@ def main() -> None:
                     help="store's encode-time predictor; must match")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
+    if args.x_channel == args.y_channel:
+        ap.error("--x-channel and --y-channel must differ (the corr "
+                 "tier pivots both out of one channel column; equal "
+                 "names would yield an ambiguous duplicate column)")
 
     from pyspark.sql import functions as F
 
