@@ -19,7 +19,14 @@ truth), integrity audit (clean-store counters vs SQL block counts),
 range join (DuckDB inequality-join truth), M4 (deterministic
 per-bucket extremes), anomaly z-score (window SQL, 6dp-rounded z),
 decontamination (raw-gram overlap truth) and duplicate-cluster
-connected components (recursive-CTE transitive closure).
+connected components (recursive-CTE transitive closure).  Round 5
+driver-gates the remaining round-4 surface: all three tier families
+(corr/twa/heartbeat, each cascaded 1h→1d vs a DIRECT 1d oracle, with
+the interpolated serves folded in), the zone-map value scan (SQL
+value filter + candidate-block-count truth), the EWMA serve (DuckDB
+recursive-CTE recursion, 6dp), the sketch tiers (HLL/KLL/Theta/top-k
+error-bound audit, lossy_bounds-style), and the streaming late-data
+path (two-batch out-of-order replay merged back to point identity).
 """
 
 from __future__ import annotations

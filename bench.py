@@ -369,7 +369,7 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
-        os.path.join(here, "BENCH", "DETAIL_r4.json"))
+        os.path.join(here, "BENCH", "DETAIL_r5.json"))
 
     # prior-round timings (recovered/maintained in BENCH/PREV.json) →
     # like-for-like ratio map; keys are stable from r4 on

@@ -874,6 +874,534 @@ FROM t
 """
 
 
+# ------------------- round-5 merged family gate + serve/audit gates
+
+HB_MS = 5 * 60_000        # heartbeat declared beat interval (5 min)
+EWMA_HL_MS = 6 * HOUR_MS  # EWMA serve half-life
+MONTH_MS = 30 * DAY_MS    # sketch-merge coarse grain
+
+# one wide, family-tagged schema for the three round-4 tier families
+# (the ann_topk house pattern): columns a family doesn't serve are
+# typed NULLs on BOTH engines, so the one gate hash-pins corr, twa
+# (incl. the LOCF-extension interpolated serve) and heartbeat (incl.
+# the full-window interpolated uptime serve) in a single registry slot
+_TF_COLS = (
+    ("family", "string"), ("conv_id", "string"), ("bucket", "long"),
+    ("n", "long"),
+    # corr (operators/correlate.py)
+    ("sx", "double"), ("sy", "double"), ("sxx", "double"),
+    ("syy", "double"), ("sxy", "double"), ("cov", "double"),
+    ("r", "double"), ("slope", "double"), ("intercept", "double"),
+    # twa (operators/timeweight.py); first_ts/last_ts shared with hb
+    ("first_ts", "long"), ("last_ts", "long"),
+    ("first_v", "double"), ("last_v", "double"), ("wsum", "double"),
+    ("duration_ms", "long"), ("twa", "double"),
+    ("covered_ms", "long"), ("twa_interp", "double"),
+    # heartbeat (operators/heartbeat.py)
+    ("live_ms", "long"), ("max_gap_ms", "long"),
+    ("interruptions", "long"), ("span_ms", "long"),
+    ("uptime_ratio", "double"), ("downtime_ms", "long"),
+    ("window_ms", "long"), ("live_interp_ms", "long"),
+    ("uptime_interp", "double"), ("downtime_interp_ms", "long"),
+)
+
+
+def _tf_pad(df: DataFrame, family: str) -> DataFrame:
+    cols = []
+    for name, typ in _TF_COLS:
+        if name == "family":
+            cols.append(F.lit(family).alias(name))
+        elif name in df.columns:
+            cols.append(F.col(name).cast(typ).alias(name))
+        else:
+            cols.append(F.lit(None).cast(typ).alias(name))
+    return df.select(*cols)
+
+
+def q_tier_families_1d(spark, sf_dir):
+    """All three round-4 tier families under ONE driver gate, each
+    built at 1h and CASCADED to 1d while the oracle builds 1d DIRECT —
+    so the gate pins each family's merge algebra (corr: sum-merge of
+    the six sufficient statistics; twa: sums + LOCF seam bridges;
+    heartbeat: sums/maxes + one seam gap), not just the fine build.
+    The twa and heartbeat branches also carry their interpolated
+    serves (LOCF edge extension / full-window uptime — lag/lead SQL
+    over tier rows, exactly expressible in the oracle).  All heartbeat
+    arithmetic is integer ms (IEEE-exact); twa wsum is a sum of
+    int-valued-double × ms products (exact); derived floats round to
+    6dp on both engines with the `+ 0.0` −0.0 normalization."""
+    from .operators.heartbeat import (cascade_heartbeat_tier,
+                                      heartbeat_estimates,
+                                      heartbeat_interpolated_estimates,
+                                      heartbeat_tier)
+    from .operators.timeweight import (cascade_twa_tier, twa_estimates,
+                                       twa_interpolated_estimates, twa_tier)
+    corr = q_corr_tier_1d(spark, sf_dir)
+    pts = _len_points(spark, sf_dir)
+    twa1d = cascade_twa_tier(twa_tier(pts, HOUR_MS), HOUR_MS, DAY_MS)
+    twa = twa_estimates(twa_interpolated_estimates(twa1d, DAY_MS)).select(
+        "conv_id", "bucket", "n", "first_ts", "first_v", "last_ts",
+        "last_v", "wsum", "duration_ms", F.round("twa", 6).alias("twa"),
+        "covered_ms", F.round("twa_interp", 6).alias("twa_interp"))
+    hb1d = cascade_heartbeat_tier(heartbeat_tier(pts, HOUR_MS, HB_MS),
+                                  HOUR_MS, DAY_MS, HB_MS)
+    hb = heartbeat_estimates(
+        heartbeat_interpolated_estimates(hb1d, DAY_MS, HB_MS)).select(
+        "conv_id", "bucket", "n", "first_ts", "last_ts", "live_ms",
+        "max_gap_ms", "interruptions", "span_ms",
+        F.round("uptime_ratio", 6).alias("uptime_ratio"), "downtime_ms",
+        "window_ms", "live_interp_ms",
+        F.round("uptime_interp", 6).alias("uptime_interp"),
+        "downtime_interp_ms")
+    return (_tf_pad(corr, "corr")
+            .unionByName(_tf_pad(twa, "twa"))
+            .unionByName(_tf_pad(hb, "heartbeat")))
+
+
+def _tf_nulls(*names: str) -> str:
+    typ = {n: t.upper().replace("LONG", "BIGINT") for n, t in _TF_COLS}
+    return ",\n       ".join(f"CAST(NULL AS {typ[n]}) AS {n}" for n in names)
+
+
+_TF_CORR_NAMES = ("sx", "sy", "sxx", "syy", "sxy", "cov", "r", "slope",
+                  "intercept")
+_TF_TWA_NAMES = ("first_v", "last_v", "wsum", "duration_ms", "twa",
+                 "covered_ms", "twa_interp")
+_TF_HB_NAMES = ("live_ms", "max_gap_ms", "interruptions", "span_ms",
+                "uptime_ratio", "downtime_ms", "window_ms",
+                "live_interp_ms", "uptime_interp", "downtime_interp_ms")
+
+
+def _tier_families_sql() -> str:
+    d, hb = DAY_MS, HB_MS
+    day_b = f"CAST(floor(ts_ms / {d}) AS BIGINT) * {d}"
+    return _with_transcripts(f"""{_PTS_SQL},
+cpts AS (SELECT conv_id, epoch_ms(ts) AS ts_ms,
+                CAST(length(text) AS DOUBLE) AS x,
+                CAST({P.array_size(P.tokens('text', P.DUCK), P.DUCK)}
+                     AS DOUBLE) AS y
+         FROM transcripts),
+ct AS (SELECT conv_id, CAST(floor(ts_ms / {d}) AS BIGINT) * {d} AS bucket,
+              count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+       FROM cpts GROUP BY 1, 2),
+two AS (SELECT conv_id, ts_ms, v, lead(ts_ms) OVER w AS nts,
+               {day_b} AS bucket,
+               first_value(v) OVER pb AS fv, last_value(v) OVER pb AS lv
+        FROM pts
+        WINDOW w AS (PARTITION BY conv_id ORDER BY ts_ms, v),
+               pb AS (PARTITION BY conv_id, CAST(floor(ts_ms / {d}) AS BIGINT)
+                      ORDER BY ts_ms, v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)),
+tt AS (SELECT conv_id, bucket, count(*) AS n,
+              min(ts_ms) AS first_ts, min(fv) AS first_v,
+              max(ts_ms) AS last_ts, min(lv) AS last_v,
+              sum(CASE WHEN nts IS NOT NULL
+                       AND CAST(floor(nts / {d}) AS BIGINT) * {d} = bucket
+                       THEN v * (nts - ts_ms) ELSE 0 END) AS wsum
+       FROM two GROUP BY 1, 2),
+te AS (SELECT conv_id, bucket, n, first_ts, first_v, last_ts, last_v, wsum,
+              CAST(last_ts - first_ts AS BIGINT) AS duration_ms,
+              round(CASE WHEN last_ts > first_ts
+                         THEN wsum / CAST(last_ts - first_ts AS DOUBLE)
+                         ELSE last_v END, 6) AS twa,
+              lag(last_v) OVER wb AS prev_lv,
+              lead(bucket) OVER wb IS NOT NULL AS has_next
+       FROM tt WINDOW wb AS (PARTITION BY conv_id ORDER BY bucket)),
+ti AS (SELECT *,
+              CASE WHEN prev_lv IS NOT NULL THEN bucket
+                   ELSE first_ts END AS lo,
+              CASE WHEN has_next THEN bucket + {d} ELSE last_ts END AS hi,
+              CASE WHEN prev_lv IS NOT NULL
+                   THEN prev_lv * (first_ts - bucket) ELSE 0 END AS head,
+              CASE WHEN has_next
+                   THEN last_v * (bucket + {d} - last_ts)
+                   ELSE 0 END AS tail
+       FROM te),
+tf AS (SELECT conv_id, bucket, n, first_ts, first_v, last_ts, last_v, wsum,
+              duration_ms, twa, CAST(hi - lo AS BIGINT) AS covered_ms,
+              round(CASE WHEN hi > lo
+                         THEN (wsum + head + tail) / CAST(hi - lo AS DOUBLE)
+                         ELSE last_v END, 6) AS twa_interp
+       FROM ti),
+hbb AS (SELECT DISTINCT conv_id, ts_ms FROM pts),
+hbo AS (SELECT conv_id, ts_ms, {day_b} AS bucket,
+               lead(ts_ms) OVER (PARTITION BY conv_id ORDER BY ts_ms) AS nts
+        FROM hbb),
+hbg AS (SELECT *, CASE WHEN nts IS NOT NULL
+                       AND CAST(floor(nts / {d}) AS BIGINT) * {d} = bucket
+                       THEN nts - ts_ms END AS gap
+        FROM hbo),
+hbt AS (SELECT conv_id, bucket, count(*) AS n,
+               min(ts_ms) AS first_ts, max(ts_ms) AS last_ts,
+               coalesce(sum(CASE WHEN gap IS NOT NULL
+                                 THEN least(gap, {hb}) END), 0) AS live_ms,
+               coalesce(max(gap), 0) AS max_gap_ms,
+               count(CASE WHEN gap > {hb} THEN 1 END) AS interruptions
+        FROM hbg GROUP BY 1, 2),
+hbe AS (SELECT *, lag(last_ts) OVER (PARTITION BY conv_id ORDER BY bucket)
+                  AS prev_last
+        FROM hbt),
+hbi AS (SELECT *,
+               CASE WHEN prev_last IS NOT NULL THEN bucket
+                    ELSE first_ts END AS lo,
+               CASE WHEN prev_last IS NOT NULL
+                    THEN greatest(0, least(prev_last + {hb}, first_ts)
+                                     - bucket)
+                    ELSE 0 END AS head,
+               least({hb}, bucket + {d} - last_ts) AS tail
+        FROM hbe),
+hbf AS (SELECT conv_id, bucket, n, first_ts, last_ts, live_ms, max_gap_ms,
+               interruptions,
+               CAST(last_ts - first_ts AS BIGINT) AS span_ms,
+               round(CASE WHEN last_ts > first_ts
+                          THEN live_ms / CAST(last_ts - first_ts AS DOUBLE)
+                          ELSE 1.0 END, 6) AS uptime_ratio,
+               CAST(last_ts - first_ts - live_ms AS BIGINT) AS downtime_ms,
+               CAST(bucket + {d} - lo AS BIGINT) AS window_ms,
+               CAST(live_ms + head + tail AS BIGINT) AS live_interp_ms,
+               round((live_ms + head + tail)
+                     / CAST(bucket + {d} - lo AS DOUBLE), 6)
+                   AS uptime_interp,
+               CAST(bucket + {d} - lo - (live_ms + head + tail) AS BIGINT)
+                   AS downtime_interp_ms
+        FROM hbi)
+SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
+       round((n * sxy - sx * sy) / (n * n), 6) + 0.0 AS cov,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                        AND (n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                 + 0.0
+       END AS r,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+       END AS slope,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+            THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                       / n, 6) + 0.0
+       END AS intercept,
+       {_tf_nulls("first_ts", "last_ts")},
+       {_tf_nulls(*_TF_TWA_NAMES)},
+       {_tf_nulls(*_TF_HB_NAMES)}
+FROM ct
+UNION ALL
+SELECT 'twa', conv_id, bucket, n,
+       {_tf_nulls(*_TF_CORR_NAMES)},
+       first_ts, last_ts, first_v, last_v, wsum, duration_ms, twa,
+       covered_ms, twa_interp,
+       {_tf_nulls(*_TF_HB_NAMES)}
+FROM tf
+UNION ALL
+SELECT 'heartbeat', conv_id, bucket, n,
+       {_tf_nulls(*_TF_CORR_NAMES)},
+       first_ts, last_ts,
+       {_tf_nulls("first_v", "last_v", "wsum", "duration_ms", "twa",
+                  "covered_ms", "twa_interp")},
+       live_ms, max_gap_ms, interruptions, span_ms, uptime_ratio,
+       downtime_ms, window_ms, live_interp_ms, uptime_interp,
+       downtime_interp_ms
+FROM hbf""")
+
+
+def q_codec_roundtrip_variants(spark, sf_dir):
+    """Both non-default Gorilla block profiles' decode identity in one
+    variant-tagged gate (registry consolidation): the DifferentialFCM
+    predictor path and the span='auto' multi-day block path each must
+    reproduce the raw points exactly."""
+    d = (q_codec_roundtrip_dfcm(spark, sf_dir)
+         .withColumn("variant", F.lit("dfcm")))
+    a = (q_codec_roundtrip_span_auto(spark, sf_dir)
+         .withColumn("variant", F.lit("span_auto")))
+    return d.unionByName(a).select("variant", "conv_id", "ts_ms", "v")
+
+
+def q_codec_valueonly_roundtrip(spark, sf_dir):
+    """v1 (64-bit) and 32-bit value-only codec identity in one
+    word-tagged gate; the float32 branch widens to double for the
+    union (exact, and identical to DuckDB's REAL→DOUBLE cast)."""
+    v64 = q_codec_v1_roundtrip(spark, sf_dir).select(
+        F.lit(64).alias("word"), "series", "idx",
+        F.col("v").cast("double").alias("v"))
+    v32 = q_codec_v32_roundtrip(spark, sf_dir).select(
+        F.lit(32).alias("word"), "series", "idx",
+        F.col("v").cast("double").alias("v"))
+    return v64.unionByName(v32)
+
+
+def _valueonly_both_sql() -> str:
+    # VALUEONLY_SQL_64/_32 are defined further down, next to their
+    # query functions — resolve lazily
+    return f"""
+SELECT 64 AS word, series, idx, v FROM ({VALUEONLY_SQL_64.strip()})
+UNION ALL
+SELECT 32, series, idx, CAST(v AS DOUBLE) FROM ({VALUEONLY_SQL_32.strip()})
+"""
+
+
+def q_rollup_block_exact(spark, sf_dir):
+    """Every zero-/full-decode tier-exactness contract in one
+    source-tagged gate: the day tier from day-block scalar metadata
+    ('day'), from span='auto' blocks' per-day sub-aggregate arrays
+    ('auto'), and the 1m tier from a full encode→decode roundtrip
+    ('decoded_1m') — each must equal rolling up the raw points."""
+    b = q_rollup_1d_blocks_both(spark, sf_dir)
+    dec = (q_rollup_from_decoded(spark, sf_dir)
+           .withColumn("span", F.lit("decoded_1m")))
+    return b.unionByName(dec)
+
+
+def q_value_scan(spark, sf_dir):
+    """Zone-map value scan under the driver
+    (operators/retention.py::read_value_range): decode only the blocks
+    whose stored agg_min/agg_max envelope can satisfy v >= 120, then
+    filter to the exact predicate.  The result must equal a plain SQL
+    value filter over ALL points (so pruning lost nothing), and
+    ``n_candidate_blocks`` — the count of blocks surviving the
+    zone-map prune — must equal the SQL-derived count of (conv, day,
+    seq) groups whose max value crosses the threshold (so pruning
+    used exactly the per-block envelope, nothing looser)."""
+    lo = 120.0
+    blocks = encode_blocks(_transcripts(spark, sf_dir), LEN_CHANNEL)
+    from .operators.retention import read_value_range
+    cand = blocks.where(F.col("agg_max").isNull()
+                        | (F.col("agg_max") >= F.lit(lo))).count()
+    pts = read_value_range(blocks, v_lo=lo, channel="len")
+    return (pts.select("conv_id", "ts_ms", F.col("v_double").alias("v"))
+            .withColumn("n_candidate_blocks", F.lit(int(cand)).cast("long")))
+
+
+def _value_scan_sql() -> str:
+    return _with_transcripts(f"""
+vp AS (SELECT conv_id, epoch_ms(ts) AS ts_ms,
+              CAST(length(text) AS DOUBLE) AS v,
+              CAST(floor(turn_idx / 65536) AS BIGINT) AS seq,
+              CAST(floor(epoch_ms(ts) / {DAY_MS}) AS BIGINT) AS day
+       FROM transcripts),
+zb AS (SELECT conv_id, day, seq, max(v) AS bmax FROM vp GROUP BY 1, 2, 3),
+c AS (SELECT count(*) AS cand FROM zb WHERE bmax >= 120.0)
+SELECT conv_id, ts_ms, v, (SELECT cand FROM c) AS n_candidate_blocks
+FROM vp WHERE v >= 120.0""")
+
+
+def q_ewma_serve_1h(spark, sf_dir):
+    """EWMA smoothing serve under the driver
+    (operators/smoothing.py::ewma_serve): the half-life-decayed level
+    and EW innovation variance of the hourly vsum tier, computed by
+    the mapInPandas cross-batch-carry kernel; the oracle reproduces
+    the recursion with a DuckDB recursive CTE.  The recursion is
+    contractive (s ← d·s + (1−d)·x, d < 1), so 1-ulp libm differences
+    in exp() stay far below the 6dp float rule."""
+    from .operators.smoothing import ewma_serve
+    tier = rollup_points(_len_points(spark, sf_dir), HOUR_MS, F.col("v"),
+                         keys=("conv_id",))
+    sm = ewma_serve(tier, "vsum", EWMA_HL_MS, keys=("conv_id",),
+                    out_col="ewma", var_col="ewma_var")
+    z = F.lit(0.0)
+    return sm.select("conv_id", "bucket", "cnt", "vmin", "vmax", "vsum",
+                     (F.round("ewma", 6) + z).alias("ewma"),
+                     (F.round("ewma_var", 6) + z).alias("ewma_var"))
+
+
+def _ewma_serve_sql() -> str:
+    hl = float(EWMA_HL_MS)
+    d = f"exp(-ln(2) * (o.bucket - r.bucket) / {hl})"
+    from .sources.transcripts import transcripts_oracle_sql
+    return f"""WITH RECURSIVE transcripts AS ({transcripts_oracle_sql()}),
+{_PTS_SQL.strip()},
+{_rollup_sql(HOUR_MS, 'r1h')},
+o AS (SELECT conv_id, bucket, cnt, vmin, vmax, vsum,
+             row_number() OVER (PARTITION BY conv_id ORDER BY bucket) AS rn
+      FROM r1h),
+rec AS (
+  SELECT conv_id, bucket, cnt, vmin, vmax, vsum, rn,
+         vsum AS ewma, CAST(0.0 AS DOUBLE) AS ewma_var
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.conv_id, o.bucket, o.cnt, o.vmin, o.vmax, o.vsum, o.rn,
+         {d} * r.ewma + (1 - {d}) * o.vsum,
+         {d} * r.ewma_var
+           + {d} * (1 - {d}) * (o.vsum - r.ewma) * (o.vsum - r.ewma)
+  FROM o JOIN rec r ON o.conv_id = r.conv_id AND o.rn = r.rn + 1)
+SELECT conv_id, bucket, cnt, vmin, vmax, vsum,
+       round(ewma, 6) + 0.0 AS ewma, round(ewma_var, 6) + 0.0 AS ewma_var
+FROM rec"""
+
+
+def q_sketch_bounds(spark, sf_dir):
+    """The mergeable sketch tiers under the driver as ONE boolean
+    error-bound audit (the lossy_bounds pattern): every row carries a
+    family tag, an EXACT statistic both engines compute independently,
+    and an ``ok`` verdict the Spark side derives from its sketch
+    estimates while the oracle asserts TRUE — a bound violation or a
+    wrong exact value flips a cell and reds the hash.
+
+    - hll_1d / hll_30d: HLL distinct-conv_id estimate within 5 % of
+      exact, per day bucket and across the 30d sketch-union merge;
+    - kll_1d: each served quantile's tie-robust rank brackets the
+      target rank within ±3 % (k=200 → ≈1.7 % rank error);
+    - theta_retained/churned/new: Theta set algebra between the first
+      two days within 5 % of the exact distinct-set intersection /
+      differences;
+    - topk_30d: after the 30d truncated-summary merge, every kept
+      item's true count lies in [cnt_lb, cnt_lb+err] and no unlisted
+      item exceeds bucket_err (Agarwal et al. mergeable-summary
+      invariants)."""
+    from .operators import sketches as SK
+    from .operators.rollup import bucket_col
+    pts = _len_points(spark, sf_dir)
+    day_b = bucket_col(F.col("ts_ms"), DAY_MS)
+    mon_b = bucket_col(F.col("ts_ms"), MONTH_MS)
+
+    htier = SK.distinct_sketch_tier(pts, DAY_MS)
+    ex1 = pts.groupBy(day_b.alias("bucket")).agg(
+        F.count_distinct("conv_id").alias("exact"))
+    hll1 = (SK.estimate(htier).join(ex1, "bucket")
+            .select(F.lit("hll_1d").alias("family"), "bucket",
+                    F.col("exact").cast("long").alias("exact"),
+                    (F.abs(F.col("approx_distinct") - F.col("exact"))
+                     <= 0.05 * F.col("exact")).alias("ok")))
+    ex30 = pts.groupBy(mon_b.alias("bucket")).agg(
+        F.count_distinct("conv_id").alias("exact"))
+    hll30 = (SK.estimate(SK.merge_sketch_tier(htier, DAY_MS, MONTH_MS))
+             .join(ex30, "bucket")
+             .select(F.lit("hll_30d").alias("family"), "bucket",
+                     F.col("exact").cast("long").alias("exact"),
+                     (F.abs(F.col("approx_distinct") - F.col("exact"))
+                      <= 0.05 * F.col("exact")).alias("ok")))
+
+    qt = SK.quantile_estimates(SK.quantile_sketch_tier(pts, DAY_MS))
+    joined = (pts.select(day_b.alias("bucket"), "v")
+              .join(F.broadcast(qt.select("bucket", "p50", "p90", "p99")),
+                    "bucket"))
+    eps = 0.03
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p in ("p50", "p90", "p99"):
+        aggs.append(F.sum((F.col("v") < F.col(p)).cast("long"))
+                    .alias(f"lt_{p}"))
+        aggs.append(F.sum((F.col("v") <= F.col(p)).cast("long"))
+                    .alias(f"le_{p}"))
+    ranks = joined.groupBy("bucket").agg(*aggs)
+    ok_kll = F.lit(True)
+    for p, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        ok_kll = (ok_kll
+                  & (F.col(f"lt_{p}") / F.col("n") <= q + eps)
+                  & (F.col(f"le_{p}") / F.col("n") >= q - eps))
+    kll = ranks.select(F.lit("kll_1d").alias("family"), "bucket",
+                       F.col("n").cast("long").alias("exact"),
+                       ok_kll.alias("ok"))
+
+    ttier = SK.theta_sketch_tier(pts, DAY_MS)
+    t0 = pts.agg(F.min(day_b)).first()[0]
+    est = SK.theta_overlap(ttier, t0, t0 + DAY_MS).first()
+    a = pts.where(day_b == t0).select("conv_id").distinct()
+    b = pts.where(day_b == t0 + DAY_MS).select("conv_id").distinct()
+    exact_theta = {"theta_retained": a.join(b, "conv_id", "left_semi").count(),
+                   "theta_churned": a.join(b, "conv_id", "left_anti").count(),
+                   "theta_new": b.join(a, "conv_id", "left_anti").count()}
+    theta_rows = [
+        (fam, int(t0), int(ex),
+         bool(abs(est[fam.removeprefix("theta_")] - ex) <= 0.05 * max(ex, 1)))
+        for fam, ex in exact_theta.items()]
+    theta = spark.createDataFrame(
+        theta_rows, schema="family string, bucket long, exact long, ok boolean")
+
+    merged = SK.merge_topk_tier(SK.topk_tier(pts, DAY_MS, "conv_id", k=20),
+                                DAY_MS, MONTH_MS, k=20)
+    true30 = pts.groupBy(mon_b.alias("bucket"),
+                         F.col("conv_id").alias("item")).agg(
+        F.count(F.lit(1)).alias("true_cnt"))
+    kept = (merged.join(true30, ["bucket", "item"])
+            .groupBy("bucket")
+            .agg(F.bool_and((F.col("true_cnt") >= F.col("cnt_lb"))
+                            & (F.col("true_cnt")
+                               <= F.col("cnt_lb") + F.col("err")))
+                 .alias("kept_ok"),
+                 F.max("bucket_err").alias("berr"),
+                 F.count(F.lit(1)).alias("n_kept")))
+    unl = (true30.join(merged.select("bucket", "item"),
+                       ["bucket", "item"], "left_anti")
+           .groupBy("bucket").agg(F.max("true_cnt").alias("mx_unl")))
+    tot = pts.groupBy(mon_b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("exact"))
+    topk = (kept.join(unl, "bucket", "left").join(tot, "bucket")
+            .select(F.lit("topk_30d").alias("family"), "bucket",
+                    F.col("exact").cast("long").alias("exact"),
+                    (F.col("kept_ok")
+                     & (F.coalesce(F.col("mx_unl"), F.lit(0))
+                        <= F.col("berr"))).alias("ok")))
+
+    out = hll1
+    for part in (hll30, kll, theta, topk):
+        out = out.unionByName(part)
+    return out
+
+
+def _sketch_bounds_sql() -> str:
+    d, m = DAY_MS, MONTH_MS
+    day_b = f"CAST(floor(ts_ms / {d}) AS BIGINT) * {d}"
+    return _with_transcripts(f"""{_PTS_SQL},
+d1 AS (SELECT {day_b} AS bucket, count(DISTINCT conv_id) AS dc,
+              count(*) AS n
+       FROM pts GROUP BY 1),
+d30 AS (SELECT CAST(floor(ts_ms / {m}) AS BIGINT) * {m} AS bucket,
+               count(DISTINCT conv_id) AS dc, count(*) AS n
+        FROM pts GROUP BY 1),
+t0 AS (SELECT min({day_b}) AS b FROM pts),
+aset AS (SELECT DISTINCT conv_id FROM pts, t0 WHERE {day_b} = t0.b),
+bset AS (SELECT DISTINCT conv_id FROM pts, t0 WHERE {day_b} = t0.b + {d})
+SELECT 'hll_1d' AS family, bucket, dc AS exact, TRUE AS ok FROM d1
+UNION ALL SELECT 'hll_30d', bucket, dc, TRUE FROM d30
+UNION ALL SELECT 'kll_1d', bucket, n, TRUE FROM d1
+UNION ALL SELECT 'theta_retained', (SELECT b FROM t0),
+       (SELECT count(*) FROM aset WHERE conv_id IN
+          (SELECT conv_id FROM bset)), TRUE
+UNION ALL SELECT 'theta_churned', (SELECT b FROM t0),
+       (SELECT count(*) FROM aset WHERE conv_id NOT IN
+          (SELECT conv_id FROM bset)), TRUE
+UNION ALL SELECT 'theta_new', (SELECT b FROM t0),
+       (SELECT count(*) FROM bset WHERE conv_id NOT IN
+          (SELECT conv_id FROM aset)), TRUE
+UNION ALL SELECT 'topk_30d', bucket, n, TRUE FROM d30""")
+
+
+def q_stream_late_merge(spark, sf_dir):
+    """The streaming late path under the driver
+    (streaming/late_path.py): a two-batch out-of-order replay — the
+    RECENT half of the transcripts arrives first (advancing the
+    event-time frontier), then the older half arrives a batch later
+    and lands entirely below the frontier, so the ingest fn diverts it
+    to the late staging sink instead of encoding it out of order.
+    ``merge_late_staging`` then folds the staging rows into the sealed
+    store via the copy-on-write backfill merge; decoding the merged
+    store must reproduce ALL raw points exactly (nothing dropped at
+    the watermark, nothing double-encoded, per-series ts order
+    restored), and ``late_rows_staged`` pins that the late path was
+    actually exercised rather than trivially bypassed."""
+    import os
+    import tempfile
+
+    from .streaming.late_path import make_ingest_batch_fn, merge_late_staging
+    t = _transcripts(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="late_merge_")
+    store = os.path.join(tmp, "store")
+    stage = os.path.join(tmp, "stage")
+    frontier = os.path.join(tmp, "frontier.json")
+    ts_ms = F.unix_millis("ts")
+    bounds = t.agg(F.min(ts_ms).alias("lo"), F.max(ts_ms).alias("hi")).first()
+    mid = (bounds["lo"] + bounds["hi"]) // 2
+    fn = make_ingest_batch_fn(store, stage, frontier, delay_ms=HOUR_MS,
+                              channels=LEN_CHANNEL)
+    fn(t.where(ts_ms >= mid), 0)   # recent half arrives first
+    fn(t.where(ts_ms < mid), 1)    # older half arrives late
+    merged = merge_late_staging(spark, store, stage, channels=LEN_CHANNEL)
+    staged = spark.read.parquet(stage).count()
+    return (decode_blocks(merged)
+            .select("conv_id", "ts_ms", F.col("v_double").alias("v"))
+            .withColumn("late_rows_staged", F.lit(bool(staged > 0))))
+
+
 def q_embedding_dups(spark, sf_dir):
     # synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51
     # at sf0.01) — τ=0.4 keeps the result small but non-trivial
@@ -1633,15 +2161,19 @@ WHERE doc_id NOT IN (SELECT id FROM lbl WHERE comp < id)
 # (ann_topk), freeing two slots for the new tier families
 # (corr_tier_1d, twa_tier_1d — each oracled against a DIRECT coarse
 # build so the cascade algebra itself is driver-gated).
+# Round 5: four more consolidations (the dfcm/span-auto roundtrips,
+# the v1/v32 value-only roundtrips, the three tier-exactness sources,
+# and corr+twa+heartbeat into one family-tagged gate carrying the
+# interpolated serves) free the slots that now gate the zone-map value
+# scan, the EWMA serve, the sketch-tier error bounds, and the
+# streaming late-data merge.
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_derive": q_transcripts_derive,
         "codec_roundtrip_2ch": q_codec_roundtrip_2ch,
-        "codec_roundtrip_dfcm": q_codec_roundtrip_dfcm,
-        "codec_roundtrip_span_auto": q_codec_roundtrip_span_auto,
-        "codec_v1_roundtrip": q_codec_v1_roundtrip,
-        "codec_v32_roundtrip": q_codec_v32_roundtrip,
+        "codec_roundtrip_variants": q_codec_roundtrip_variants,
+        "codec_valueonly_roundtrip": q_codec_valueonly_roundtrip,
         "lossy_bounds": q_lossy_bounds,
         "block_stats": q_block_stats,
         "checkpoint_resume": q_checkpoint_resume,
@@ -1653,8 +2185,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_clean_store": q_audit_clean,
         "rollup_1m": q_rollup_1m,
         "rollup_cascade": q_rollup_cascade,
-        "rollup_1d_from_blocks": q_rollup_1d_blocks_both,
-        "rollup_from_decoded": q_rollup_from_decoded,
+        "rollup_block_exact": q_rollup_block_exact,
         "gapfill_tiers": q_gapfill_tiers,
         "retention_tiers": q_retention_tiers,
         "asof_tier": q_asof_tier,
@@ -1676,8 +2207,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_pairs,
         "dup_components_canonical": q_dup_components,
         "decontaminate": q_decontaminate,
-        "corr_tier_1d": q_corr_tier_1d,
-        "twa_tier_1d": q_twa_tier_1d,
+        "tier_families_1d": q_tier_families_1d,
+        "value_scan": q_value_scan,
+        "ewma_serve_1h": q_ewma_serve_1h,
+        "sketch_bounds": q_sketch_bounds,
+        "stream_late_merge": q_stream_late_merge,
         "ann_topk": q_ann_topk,
         "embedding_dup_pairs": q_embedding_dups,
         "textstats_all": q_textstats_all,
@@ -1767,10 +2301,12 @@ SELECT conv_id, bucket, cnt, vmin, vmax, vsum, '1d' FROM r1d""")
     return {
         "transcripts_derive": transcripts_oracle_sql(),
         "codec_roundtrip_2ch": roundtrip_2ch,
-        "codec_roundtrip_dfcm": roundtrip_len,
-        "codec_roundtrip_span_auto": roundtrip_len,
-        "codec_v1_roundtrip": VALUEONLY_SQL_64,
-        "codec_v32_roundtrip": VALUEONLY_SQL_32,
+        "codec_roundtrip_variants": _with_transcripts(
+            f"{_PTS_SQL}\n"
+            "SELECT 'dfcm' AS variant, conv_id, ts_ms, v FROM pts\n"
+            "UNION ALL\n"
+            "SELECT 'span_auto', conv_id, ts_ms, v FROM pts"),
+        "codec_valueonly_roundtrip": _valueonly_both_sql(),
         "lossy_bounds": LOSSY_BOUNDS_SQL,
         "block_stats": _block_stats_sql(),
         "checkpoint_resume": _with_transcripts(CHECKPOINT_RESUME_SQL_BODY),
@@ -1786,13 +2322,17 @@ SELECT conv_id, bucket, cnt, vmin, vmax, vsum, '1d' FROM r1d""")
         "audit_clean_store": _with_transcripts(AUDIT_CLEAN_SQL_BODY),
         "rollup_1m": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(MINUTE_MS)}"),
         "rollup_cascade": rollup_cascade,
-        "rollup_1d_from_blocks": _with_transcripts(
-            f"{_PTS_SQL},\n{_rollup_sql(DAY_MS, 'r1d')}\n"
+        # zero-decode day tiers (both block profiles) + the full
+        # encode→decode→1m roundtrip, one source-tagged gate
+        "rollup_block_exact": _with_transcripts(
+            f"{_PTS_SQL},\n{_rollup_sql(DAY_MS, 'r1d')},"
+            f"\n{_rollup_sql(MINUTE_MS, 'r1m')}\n"
             "SELECT conv_id, bucket, cnt, vmin, vmax, vsum, 'day' AS span "
             "FROM r1d\nUNION ALL\n"
-            "SELECT conv_id, bucket, cnt, vmin, vmax, vsum, 'auto' FROM r1d"),
-        # encode→decode→rollup must equal rolling up the raw points
-        "rollup_from_decoded": _with_transcripts(f"{_PTS_SQL}\n{_rollup_sql(MINUTE_MS)}"),
+            "SELECT conv_id, bucket, cnt, vmin, vmax, vsum, 'auto' FROM r1d\n"
+            "UNION ALL\n"
+            "SELECT conv_id, bucket, cnt, vmin, vmax, vsum, 'decoded_1m' "
+            "FROM r1m"),
         "gapfill_tiers": _gapfill_tiers_sql(),
         "retention_tiers": _retention_tiers_sql(),
         "pricing_summary": PRICING_SQL,
@@ -1828,14 +2368,13 @@ SELECT conv_id, bucket, cnt, vmin, vmax, vsum, '1d' FROM r1d""")
         "simhash_near_pairs": SIMHASH_PAIRS_SQL,
         "dup_components_canonical": _dup_components_sql(),
         "decontaminate": _decontaminate_sql(),
-        "corr_tier_1d": _with_transcripts(
-            "cpts AS (SELECT conv_id, epoch_ms(ts) AS ts_ms, "
-            "CAST(length(text) AS DOUBLE) AS x, "
-            f"CAST({P.array_size(P.tokens('text', P.DUCK), P.DUCK)} "
-            "AS DOUBLE) AS y "
-            f"FROM transcripts),\n{CORR_TIER_SQL_BODY}"),
-        "twa_tier_1d": _with_transcripts(
-            f"{_PTS_SQL.rstrip()},\n{TWA_TIER_SQL_BODY}"),
+        "tier_families_1d": _tier_families_sql(),
+        "value_scan": _value_scan_sql(),
+        "ewma_serve_1h": _ewma_serve_sql(),
+        "sketch_bounds": _sketch_bounds_sql(),
+        "stream_late_merge": _with_transcripts(
+            f"{_PTS_SQL}\nSELECT conv_id, ts_ms, v, "
+            "TRUE AS late_rows_staged FROM pts"),
         "ann_topk": (
             f"SELECT 'brute' AS method, * FROM ({similarity.cosine_topk_sql()})\n"
             f"UNION ALL SELECT 'lsh', * FROM ({similarity.ann_lsh_topk_sql()})\n"

@@ -15,7 +15,11 @@ SF = "/root/testdata/sf0.001"
 
 # queries whose construction runs driver-side actions or streaming
 # replays; their plan shape is covered by their own gates
-SKIP = {"checkpoint_resume", "stream_rollup_1m", "stream_encode_roundtrip"}
+# (stream_late_merge replays the two-batch ingest at construction
+# time; the component plans — encode, backfill merge, decode — are
+# pinned by their own entries)
+SKIP = {"checkpoint_resume", "stream_rollup_1m", "stream_encode_roundtrip",
+        "stream_late_merge"}
 
 FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
@@ -32,9 +36,9 @@ EXCHANGE_BUDGET = {
     # + metadata groupBy — the derivation exchange disappears when
     # transcripts is a stored table; the registry row unions BOTH block
     # profiles (day + auto: 3 + 4 — the auto branch adds the day-subagg
-    # explode's groupBy), so the budget is two branches' worth
-    "rollup_1d_from_blocks": 7,
-    "rollup_from_decoded": 3,
+    # explode's groupBy) PLUS the encode→decode→1m branch (3), so the
+    # budget is three branches' worth
+    "rollup_block_exact": 11,
     "codec_roundtrip_2ch": 2,
     "dedup_exact": 2,
     "asof_tier": 4,
@@ -49,12 +53,19 @@ EXCHANGE_BUDGET = {
     "m4_downsample": 3,
     # derivation + 1h rollup + one series-keyed window
     "anomaly_zscore_1h": 3,
-    # derivation + 1h pair-stats groupBy (the 1d cascade reuses the
-    # (conv,bucket) partitioning's conv prefix)
-    "corr_tier_1d": 2,
-    # derivation + the series window; BOTH groupBys reuse the window's
-    # conv_id hash partitioning (conv_id ⊆ every grouping key)
-    "twa_tier_1d": 2,
+    # three family branches unioned, measured 5 at sf0.001: corr
+    # (derivation + 1h pair-stats groupBy; the 1d cascade reuses the
+    # conv prefix) + twa (derivation + series window, groupBys reuse
+    # the window's conv_id hash partitioning) + heartbeat (derivation
+    # + beat-dedup distinct + series window, sharing the twa branch's
+    # exchange where the plans align)
+    "tier_families_1d": 6,
+    # derivation + encode (conv,day,seq) shuffle; the zone-map prune is
+    # a scan-side filter, never an exchange
+    "value_scan": 3,
+    # derivation + 1h rollup + ONE series repartition for the
+    # mapInPandas serve kernel — no point-sized shuffles beyond the tier
+    "ewma_serve_1h": 3,
 }
 
 
@@ -162,3 +173,14 @@ def test_maintenance_operator_plans(spark):
             ._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_registry_exactly_50_all_oracled():
+    """The driver records at most 50 registry entries; every slot must
+    be used and every entry must carry an oracle (the consolidation
+    contract that keeps the whole surface driver-gated)."""
+    from gorilla_tsc_spark.queries import build_oracle_sql, build_queries
+    q, o = build_queries(), build_oracle_sql()
+    assert len(q) == 50, len(q)
+    assert set(q) == set(o), (sorted(set(q) - set(o)),
+                              sorted(set(o) - set(q)))

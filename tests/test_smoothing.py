@@ -165,3 +165,25 @@ def test_ewma_anomaly_bands(spark):
     assert not any(out[i]["anomaly"] for i in range(4))
     # the spike's one-step prediction came from the pre-spike level
     assert out[40]["ewma_pred"] == pytest.approx(out[39]["ewma"])
+
+
+def test_ewma_anomaly_flags_shift_on_constant_baseline(spark):
+    """An exactly-constant baseline decays the EW variance to zero; a
+    genuine level shift must STILL flag (the band is 0 and the
+    deviation is huge) — the old (pvar > 0) guard suppressed it
+    forever.  Continuing constant rows after the shift settle back to
+    unflagged."""
+    from gorilla_tsc_spark.operators.smoothing import ewma_anomaly
+    ts = [i * HOUR_MS for i in range(30)]
+    vals = [10.0] * 30
+    vals[20] = 50.0          # level shift against a zero-variance past
+    df = spark.createDataFrame(
+        [("c", t, v) for t, v in zip(ts, vals)],
+        "conv_id string, bucket long, vsum double")
+    out = {r["bucket"] // HOUR_MS: r for r in
+           ewma_anomaly(df, "vsum", HL).collect()}
+    assert out[20]["anomaly"], "shift on constant baseline must flag"
+    # constant tail rows do not flag (dev stays at/below the band
+    # once the recursion re-adapts and dev ≤ 1e-9 floor kicks in)
+    assert not any(out[i]["anomaly"] for i in range(5, 20))
+    assert not any(out[i]["anomaly"] for i in range(25, 30))
