@@ -775,116 +775,20 @@ def q_ann_topk(spark, sf_dir):
     return out.select("method", "q_id", "n_id", "rank", "cos")
 
 
-def q_corr_tier_1d(spark, sf_dir):
-    """Cross-channel correlation tier under the driver
-    (operators/correlate.py): x = chars per turn, y = whitespace
-    tokens per turn (both integer-valued doubles, so the six
-    sufficient-statistic sums are IEEE-exact in any order), built at
-    1h and CASCADED to 1d — the oracle builds 1d directly, so equality
-    gates the cascade's exactness claim, not just the build.  Derived
-    cov/r/slope/intercept round to 6dp on both sides (the anomaly-gate
-    float rule)."""
-    from .operators.correlate import (cascade_corr_tier, corr_estimates,
-                                      corr_tier)
-    t = _transcripts(spark, sf_dir)
-    y = F.expr(f"CAST({P.array_size(P.tokens('text', P.SPARK), P.SPARK)} "
-               "AS DOUBLE)")
-    pts = t.select("conv_id", F.unix_millis("ts").alias("ts_ms"),
-                   F.length("text").cast("double").alias("x"), y.alias("y"))
-    est = corr_estimates(
-        cascade_corr_tier(corr_tier(pts, HOUR_MS), HOUR_MS, DAY_MS))
-    z = F.lit(0.0)  # “+ 0.0” maps IEEE −0.0 → +0.0 (repr-hash parity)
-    return est.select(
-        "conv_id", "bucket", "n", "sx", "sy", "sxx", "syy", "sxy",
-        (F.round("cov", 6) + z).alias("cov"),
-        (F.round("r", 6) + z).alias("r"),
-        (F.round("slope", 6) + z).alias("slope"),
-        (F.round("intercept", 6) + z).alias("intercept"))
-
-
-CORR_TIER_SQL_BODY = f"""
-t AS (SELECT conv_id,
-             CAST(floor(ts_ms / {DAY_MS}) AS BIGINT) * {DAY_MS} AS bucket,
-             count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
-      FROM cpts GROUP BY 1, 2)
-SELECT conv_id, bucket, n, sx, sy, sxx, syy, sxy,
-       round((n * sxy - sx * sy) / (n * n), 6) + 0.0 AS cov,
-       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
-                        AND (n * syy - sy * sy) > 0
-            THEN round((n * sxy - sx * sy)
-                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-                 + 0.0
-       END AS r,
-       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
-            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
-       END AS slope,
-       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
-            THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-                       / n, 6) + 0.0
-       END AS intercept
-FROM t
-"""
-
-
-def q_twa_tier_1d(spark, sf_dir):
-    """Time-weighted average tier under the driver
-    (operators/timeweight.py): LOCF step integral of the turn-length
-    channel, built at 1h and CASCADED to 1d (sums + seam bridges); the
-    oracle integrates at 1d directly, so equality gates the seam-bridge
-    algebra.  wsum is a sum of int-valued-double × ms products —
-    IEEE-exact — and the served twa rounds to 6dp on both sides."""
-    from .operators.timeweight import (cascade_twa_tier, twa_estimates,
-                                       twa_tier)
-    est = twa_estimates(
-        cascade_twa_tier(twa_tier(_len_points(spark, sf_dir), HOUR_MS),
-                         HOUR_MS, DAY_MS))
-    return est.select("conv_id", "bucket", "n", "first_ts", "first_v",
-                      "last_ts", "last_v", "wsum", "duration_ms",
-                      F.round("twa", 6).alias("twa"))
-
-
-TWA_TIER_SQL_BODY = f"""
-o AS (SELECT conv_id, ts_ms, v,
-             lead(ts_ms) OVER w AS nts,
-             CAST(floor(ts_ms / {DAY_MS}) AS BIGINT) * {DAY_MS} AS bucket,
-             first_value(v) OVER pb AS fv,
-             last_value(v) OVER pb AS lv
-      FROM pts
-      WINDOW w AS (PARTITION BY conv_id ORDER BY ts_ms, v),
-             pb AS (PARTITION BY conv_id,
-                                 CAST(floor(ts_ms / {DAY_MS}) AS BIGINT)
-                    ORDER BY ts_ms, v
-                    ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND UNBOUNDED FOLLOWING)),
-t AS (SELECT conv_id, bucket, count(*) AS n,
-             min(ts_ms) AS first_ts, min(fv) AS first_v,
-             max(ts_ms) AS last_ts, min(lv) AS last_v,
-             sum(CASE WHEN nts IS NOT NULL
-                      AND CAST(floor(nts / {DAY_MS}) AS BIGINT) * {DAY_MS}
-                          = bucket
-                      THEN v * (nts - ts_ms) ELSE 0 END) AS wsum
-      FROM o GROUP BY 1, 2)
-SELECT conv_id, bucket, n, first_ts, first_v, last_ts, last_v, wsum,
-       CAST(last_ts - first_ts AS BIGINT) AS duration_ms,
-       round(CASE WHEN last_ts > first_ts
-                  THEN wsum / CAST(last_ts - first_ts AS DOUBLE)
-                  ELSE last_v END, 6) AS twa
-FROM t
-"""
-
-
 # ------------------- round-5 merged family gate + serve/audit gates
 
 HB_MS = 5 * 60_000        # heartbeat declared beat interval (5 min)
 EWMA_HL_MS = 6 * HOUR_MS  # EWMA serve half-life
 MONTH_MS = 30 * DAY_MS    # sketch-merge coarse grain
+RATE_CAP = 50_000         # synthetic counter wrap modulus (forces resets)
 
-# one wide, family-tagged schema for the three round-4 tier families
+# one wide, family-tagged schema for the round-4/5 tier families
 # (the ann_topk house pattern): columns a family doesn't serve are
 # typed NULLs on BOTH engines, so the one gate hash-pins corr, twa
-# (incl. the LOCF-extension interpolated serve) and heartbeat (incl.
-# the full-window interpolated uptime serve) in a single registry slot
+# (incl. the LOCF-extension interpolated serve), heartbeat (incl.
+# the full-window interpolated uptime serve) and the round-5 counter
+# rate family (incl. its seam-inclusive interpolated increase) in a
+# single registry slot
 _TF_COLS = (
     ("family", "string"), ("conv_id", "string"), ("bucket", "long"),
     ("n", "long"),
@@ -903,6 +807,11 @@ _TF_COLS = (
     ("uptime_ratio", "double"), ("downtime_ms", "long"),
     ("window_ms", "long"), ("live_interp_ms", "long"),
     ("uptime_interp", "double"), ("downtime_interp_ms", "long"),
+    # counter rate (operators/rate.py); first/last ts+v, duration_ms
+    # shared with the twa group above
+    ("increase", "double"), ("resets", "long"),
+    ("rate_per_s", "double"), ("increase_interp", "double"),
+    ("resets_interp", "long"),
 )
 
 
@@ -919,32 +828,74 @@ def _tf_pad(df: DataFrame, family: str) -> DataFrame:
 
 
 def q_tier_families_1d(spark, sf_dir):
-    """All three round-4 tier families under ONE driver gate, each
-    built at 1h and CASCADED to 1d while the oracle builds 1d DIRECT —
-    so the gate pins each family's merge algebra (corr: sum-merge of
-    the six sufficient statistics; twa: sums + LOCF seam bridges;
-    heartbeat: sums/maxes + one seam gap), not just the fine build.
-    The twa and heartbeat branches also carry their interpolated
-    serves (LOCF edge extension / full-window uptime — lag/lead SQL
-    over tier rows, exactly expressible in the oracle).  All heartbeat
-    arithmetic is integer ms (IEEE-exact); twa wsum is a sum of
-    int-valued-double × ms products (exact); derived floats round to
-    6dp on both engines with the `+ 0.0` −0.0 normalization."""
+    """All four tier families under ONE driver gate, each built at 1h
+    THROUGH ITS LATE-DATA REFRESH PATH and CASCADED to 1d while the
+    oracle builds 1d DIRECT from all points — so the gate pins each
+    family's refresh algebra (corr: delta-tier sum-merge; twa /
+    heartbeat / rate: invalidation rebuild of only late-touched
+    buckets) AND its merge algebra (corr: sum-merge of the six
+    sufficient statistics; twa: sums + LOCF seam bridges; heartbeat:
+    sums/maxes + one seam gap; rate: sums + one reset-corrected seam
+    pair), not just the fine build.  The split is deterministic
+    (xxhash64 % 4 → "late"), the same routing trick `compact_roundtrip`
+    uses with `ingest_backfill`.  The twa, heartbeat and rate branches
+    also carry their interpolated serves (LOCF edge extension /
+    full-window uptime / seam-inclusive increase — lag/lead SQL over
+    tier rows, exactly expressible in the oracle).  All heartbeat/rate
+    arithmetic is integer ms and integer-valued counters (IEEE-exact);
+    twa wsum is a sum of int-valued-double × ms products (exact);
+    derived floats round to 6dp on both engines with the `+ 0.0` −0.0
+    normalization.  The rate branch synthesizes its counter channel
+    deterministically: cumulative turn length per conversation, wrapped
+    mod RATE_CAP so genuine resets occur in the corpus."""
+    from pyspark.sql import Window
+
+    from .operators.correlate import (cascade_corr_tier, corr_estimates,
+                                      corr_tier, refresh_corr_tier)
     from .operators.heartbeat import (cascade_heartbeat_tier,
                                       heartbeat_estimates,
                                       heartbeat_interpolated_estimates,
-                                      heartbeat_tier)
-    from .operators.timeweight import (cascade_twa_tier, twa_estimates,
+                                      heartbeat_tier,
+                                      refresh_heartbeat_tier)
+    from .operators.rate import (cascade_rate_tier, rate_estimates,
+                                 rate_interpolated_estimates, rate_tier,
+                                 refresh_rate_tier)
+    from .operators.timeweight import (cascade_twa_tier, refresh_twa_tier,
+                                       twa_estimates,
                                        twa_interpolated_estimates, twa_tier)
-    corr = q_corr_tier_1d(spark, sf_dir)
+    late_pred = F.xxhash64("conv_id", "ts_ms") % 4 == 0
+
+    t = _transcripts(spark, sf_dir)
+    y = F.expr(f"CAST({P.array_size(P.tokens('text', P.SPARK), P.SPARK)} "
+               "AS DOUBLE)")
+    xy = t.select("conv_id", F.unix_millis("ts").alias("ts_ms"),
+                  F.length("text").cast("double").alias("x"), y.alias("y"))
+    corr_fine = refresh_corr_tier(
+        corr_tier(xy.where(~late_pred), HOUR_MS),
+        xy.where(late_pred), HOUR_MS)
+    z = F.lit(0.0)  # “+ 0.0” maps IEEE −0.0 → +0.0 (repr-hash parity)
+    corr = corr_estimates(
+        cascade_corr_tier(corr_fine, HOUR_MS, DAY_MS)).select(
+        "conv_id", "bucket", "n", "sx", "sy", "sxx", "syy", "sxy",
+        (F.round("cov", 6) + z).alias("cov"),
+        (F.round("r", 6) + z).alias("r"),
+        (F.round("slope", 6) + z).alias("slope"),
+        (F.round("intercept", 6) + z).alias("intercept"))
+
     pts = _len_points(spark, sf_dir)
-    twa1d = cascade_twa_tier(twa_tier(pts, HOUR_MS), HOUR_MS, DAY_MS)
+    on_time, late = pts.where(~late_pred), pts.where(late_pred)
+    twa_fine = refresh_twa_tier(twa_tier(on_time, HOUR_MS), late,
+                                on_time, HOUR_MS)
+    twa1d = cascade_twa_tier(twa_fine, HOUR_MS, DAY_MS)
     twa = twa_estimates(twa_interpolated_estimates(twa1d, DAY_MS)).select(
         "conv_id", "bucket", "n", "first_ts", "first_v", "last_ts",
         "last_v", "wsum", "duration_ms", F.round("twa", 6).alias("twa"),
         "covered_ms", F.round("twa_interp", 6).alias("twa_interp"))
-    hb1d = cascade_heartbeat_tier(heartbeat_tier(pts, HOUR_MS, HB_MS),
-                                  HOUR_MS, DAY_MS, HB_MS)
+    hb_fine = refresh_heartbeat_tier(
+        heartbeat_tier(on_time.select("conv_id", "ts_ms"), HOUR_MS, HB_MS),
+        late.select("conv_id", "ts_ms"),
+        on_time.select("conv_id", "ts_ms"), HOUR_MS, HB_MS)
+    hb1d = cascade_heartbeat_tier(hb_fine, HOUR_MS, DAY_MS, HB_MS)
     hb = heartbeat_estimates(
         heartbeat_interpolated_estimates(hb1d, DAY_MS, HB_MS)).select(
         "conv_id", "bucket", "n", "first_ts", "last_ts", "live_ms",
@@ -953,9 +904,25 @@ def q_tier_families_1d(spark, sf_dir):
         "window_ms", "live_interp_ms",
         F.round("uptime_interp", 6).alias("uptime_interp"),
         "downtime_interp_ms")
+    wcum = (Window.partitionBy("conv_id").orderBy("ts_ms", "v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ctr = (pts.where(F.col("v").isNotNull())
+           .select("conv_id", "ts_ms",
+                   (F.sum("v").over(wcum).cast("long") % RATE_CAP)
+                   .cast("double").alias("v")))
+    ctr_on, ctr_late = ctr.where(~late_pred), ctr.where(late_pred)
+    rate_fine = refresh_rate_tier(rate_tier(ctr_on, HOUR_MS), ctr_late,
+                                  ctr_on, HOUR_MS)
+    rate1d = cascade_rate_tier(rate_fine, HOUR_MS, DAY_MS)
+    rate = rate_estimates(rate_interpolated_estimates(rate1d)).select(
+        "conv_id", "bucket", "n", "first_ts", "first_v", "last_ts",
+        "last_v", "duration_ms", "increase", "resets",
+        (F.round("rate_per_s", 6) + F.lit(0.0)).alias("rate_per_s"),
+        "increase_interp", "resets_interp")
     return (_tf_pad(corr, "corr")
             .unionByName(_tf_pad(twa, "twa"))
-            .unionByName(_tf_pad(hb, "heartbeat")))
+            .unionByName(_tf_pad(hb, "heartbeat"))
+            .unionByName(_tf_pad(rate, "rate")))
 
 
 def _tf_nulls(*names: str) -> str:
@@ -970,10 +937,12 @@ _TF_TWA_NAMES = ("first_v", "last_v", "wsum", "duration_ms", "twa",
 _TF_HB_NAMES = ("live_ms", "max_gap_ms", "interruptions", "span_ms",
                 "uptime_ratio", "downtime_ms", "window_ms",
                 "live_interp_ms", "uptime_interp", "downtime_interp_ms")
+_TF_RATE_NAMES = ("increase", "resets", "rate_per_s", "increase_interp",
+                  "resets_interp")
 
 
 def _tier_families_sql() -> str:
-    d, hb = DAY_MS, HB_MS
+    d, hb, cap = DAY_MS, HB_MS, RATE_CAP
     day_b = f"CAST(floor(ts_ms / {d}) AS BIGINT) * {d}"
     return _with_transcripts(f"""{_PTS_SQL},
 cpts AS (SELECT conv_id, epoch_ms(ts) AS ts_ms,
@@ -1066,7 +1035,49 @@ hbf AS (SELECT conv_id, bucket, n, first_ts, last_ts, live_ms, max_gap_ms,
                    AS uptime_interp,
                CAST(bucket + {d} - lo - (live_ms + head + tail) AS BIGINT)
                    AS downtime_interp_ms
-        FROM hbi)
+        FROM hbi),
+rcp AS (SELECT conv_id, ts_ms,
+               CAST(CAST(sum(v) OVER (PARTITION BY conv_id
+                         ORDER BY ts_ms, v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) % {cap} AS DOUBLE) AS v
+        FROM pts WHERE v IS NOT NULL),
+ro AS (SELECT conv_id, ts_ms, v, {day_b} AS bucket,
+              lead(ts_ms) OVER rw AS nts, lead(v) OVER rw AS nv,
+              first_value(v) OVER rpb AS fv, last_value(v) OVER rpb AS lv
+       FROM rcp
+       WINDOW rw AS (PARTITION BY conv_id ORDER BY ts_ms, v),
+              rpb AS (PARTITION BY conv_id, CAST(floor(ts_ms / {d}) AS BIGINT)
+                      ORDER BY ts_ms, v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)),
+rt AS (SELECT conv_id, bucket, count(*) AS n,
+              min(ts_ms) AS first_ts, min(fv) AS first_v,
+              max(ts_ms) AS last_ts, min(lv) AS last_v,
+              sum(CASE WHEN nts IS NOT NULL
+                       AND CAST(floor(nts / {d}) AS BIGINT) * {d} = bucket
+                       THEN CASE WHEN nv >= v THEN nv - v ELSE nv END
+                       ELSE 0 END) AS increase,
+              count(CASE WHEN nts IS NOT NULL
+                         AND CAST(floor(nts / {d}) AS BIGINT) * {d} = bucket
+                         AND nv < v THEN 1 END) AS resets
+       FROM ro GROUP BY 1, 2),
+re AS (SELECT *, lag(last_v) OVER (PARTITION BY conv_id ORDER BY bucket)
+                 AS prev_lv
+       FROM rt),
+rf AS (SELECT conv_id, bucket, n, first_ts, first_v, last_ts, last_v,
+              increase, resets,
+              CAST(last_ts - first_ts AS BIGINT) AS duration_ms,
+              CASE WHEN last_ts > first_ts
+                   THEN round(increase * 1000.0
+                              / CAST(last_ts - first_ts AS DOUBLE), 6) + 0.0
+              END AS rate_per_s,
+              increase + CASE WHEN prev_lv IS NULL THEN 0
+                              WHEN first_v >= prev_lv THEN first_v - prev_lv
+                              ELSE first_v END AS increase_interp,
+              resets + CASE WHEN prev_lv IS NOT NULL AND first_v < prev_lv
+                            THEN 1 ELSE 0 END AS resets_interp
+       FROM re)
 SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        round((n * sxy - sx * sy) / (n * n), 6) + 0.0 AS cov,
        CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
@@ -1084,14 +1095,16 @@ SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        END AS intercept,
        {_tf_nulls("first_ts", "last_ts")},
        {_tf_nulls(*_TF_TWA_NAMES)},
-       {_tf_nulls(*_TF_HB_NAMES)}
+       {_tf_nulls(*_TF_HB_NAMES)},
+       {_tf_nulls(*_TF_RATE_NAMES)}
 FROM ct
 UNION ALL
 SELECT 'twa', conv_id, bucket, n,
        {_tf_nulls(*_TF_CORR_NAMES)},
        first_ts, last_ts, first_v, last_v, wsum, duration_ms, twa,
        covered_ms, twa_interp,
-       {_tf_nulls(*_TF_HB_NAMES)}
+       {_tf_nulls(*_TF_HB_NAMES)},
+       {_tf_nulls(*_TF_RATE_NAMES)}
 FROM tf
 UNION ALL
 SELECT 'heartbeat', conv_id, bucket, n,
@@ -1101,8 +1114,19 @@ SELECT 'heartbeat', conv_id, bucket, n,
                   "covered_ms", "twa_interp")},
        live_ms, max_gap_ms, interruptions, span_ms, uptime_ratio,
        downtime_ms, window_ms, live_interp_ms, uptime_interp,
-       downtime_interp_ms
-FROM hbf""")
+       downtime_interp_ms,
+       {_tf_nulls(*_TF_RATE_NAMES)}
+FROM hbf
+UNION ALL
+SELECT 'rate', conv_id, bucket, n,
+       {_tf_nulls(*_TF_CORR_NAMES)},
+       first_ts, last_ts, first_v, last_v,
+       {_tf_nulls("wsum")},
+       duration_ms,
+       {_tf_nulls("twa", "covered_ms", "twa_interp")},
+       {_tf_nulls(*_TF_HB_NAMES)},
+       increase, resets, rate_per_s, increase_interp, resets_interp
+FROM rf""")
 
 
 def q_codec_roundtrip_variants(spark, sf_dir):

@@ -12,6 +12,14 @@ seal the exact batch `twa_tier` row when the event-time watermark
 passes the bucket's end.  Like heartbeat, the family's summary is
 within-bucket by design (seams belong to the cascade), so no
 cross-bucket state exists to lose.
+
+Counter rate (operators/rate.py) is the same class as time-weight —
+the reset-corrected pair walk is order-dependent within the bucket —
+so `stream_rate_tier` reuses the buffer-and-seal shape.  It takes a
+POINT stream (series, ts, v) where v is the measured counter sample:
+in production the counter IS the wire channel; the driver gate's
+cumulative-sum derivation from transcripts exists only to synthesize
+a counter deterministically from the test corpus.
 """
 from __future__ import annotations
 
@@ -124,6 +132,89 @@ def stream_twa_tier(transcripts_stream: DataFrame, bucket_ms: int,
     return pts.groupBy("conv_id", "bucket").applyInPandasWithState(
         make_twa_state_fn(bucket_ms),
         outputStructType=STREAM_TWA_SCHEMA,
+        stateStructType=TWA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+STREAM_RATE_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("bucket", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("first_ts", T.LongType()),
+    T.StructField("first_v", T.DoubleType()),
+    T.StructField("last_ts", T.LongType()),
+    T.StructField("last_v", T.DoubleType()),
+    T.StructField("increase", T.DoubleType()),
+    T.StructField("resets", T.LongType()),
+])
+
+
+def _seal_rate_row(conv_id: str, bucket: int, ts_l: list, v_l: list) -> dict:
+    """Exact batch `rate_tier` row for one sealed (series, bucket):
+    (ts, v)-sorted reset-corrected pair walk, vectorized."""
+    a = np.lexsort((np.asarray(v_l, np.float64),
+                    np.asarray(ts_l, np.int64)))  # (ts, v) tie order
+    ts = np.asarray(ts_l, np.int64)[a]
+    v = np.asarray(v_l, np.float64)[a]
+    if len(v) > 1:
+        d = np.diff(v)
+        drops = d < 0
+        increase = float(np.where(drops, v[1:], d).sum())
+        resets = int(drops.sum())
+    else:
+        increase, resets = 0.0, 0
+    return {"conv_id": conv_id, "bucket": bucket, "n": int(len(ts)),
+            "first_ts": int(ts[0]), "first_v": float(v[0]),
+            "last_ts": int(ts[-1]), "last_v": float(v[-1]),
+            "increase": increase, "resets": resets}
+
+
+def make_rate_state_fn(bucket_ms: int):
+    def fn(key, pdf_iter: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        conv_id, bucket = key[0], int(key[1])
+        if state.hasTimedOut:
+            ts_l, v_l = state.get
+            state.remove()
+            if ts_l:
+                yield pd.DataFrame(
+                    [_seal_rate_row(conv_id, bucket, ts_l, v_l)],
+                    columns=[f.name for f in STREAM_RATE_SCHEMA.fields])
+            return
+        ts_l, v_l = (state.get if state.exists else ([], []))
+        ts_l, v_l = list(ts_l), list(v_l)
+        for pdf in pdf_iter:
+            ts_l.extend(pdf["ts_ms"].astype("int64").tolist())
+            v_l.extend(pdf["v"].astype("float64").tolist())
+        state.update((ts_l, v_l))
+        state.setTimeoutTimestamp(
+            max(bucket + bucket_ms, state.getCurrentWatermarkMs() + 1))
+
+    return fn
+
+
+def stream_rate_tier(points_stream: DataFrame, bucket_ms: int,
+                     delay: str = "10 minutes") -> DataFrame:
+    """Counter-point stream (conv_id, ts, v) → watermark-sealed rate
+    tier rows, bit-equal to the batch `rate_tier` at the same grain
+    (every statistic is integer-valued arithmetic over the in-bucket
+    pair walk; seams belong to the cascade, so state is per-bucket)."""
+    pts = (points_stream
+           .where(F.col("v").isNotNull())
+           .withWatermark("ts", delay)
+           .select(
+               "conv_id",
+               (F.floor(F.unix_millis(F.col("ts").cast("timestamp"))
+                        / bucket_ms) * bucket_ms)
+               .cast("long").alias("bucket"),
+               F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+               F.col("v").cast("double").alias("v"),
+               "ts"))
+    return pts.groupBy("conv_id", "bucket").applyInPandasWithState(
+        make_rate_state_fn(bucket_ms),
+        outputStructType=STREAM_RATE_SCHEMA,
         stateStructType=TWA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

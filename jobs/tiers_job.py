@@ -1,9 +1,10 @@
-"""spark-submit entry point building the round-4 tier families from a
+"""spark-submit entry point building the tier families from a
 block-store warehouse: cross-channel correlation, time-weighted
-average, and heartbeat/uptime — each at a fine grain plus one cascaded
-coarse grain, written as parquet tier tables under --out.
+average, heartbeat/uptime, and (optionally) counter rate — each at a
+fine grain plus one cascaded coarse grain, written as parquet tier
+tables under --out.
 
-Decode happens ONCE (all three families share the exploded points),
+Decode happens ONCE (all families share the exploded points),
 optionally narrowed to the channels actually used; every downstream
 step is tier-sized.  Prints one JSON line of per-tier row counters.
 
@@ -11,6 +12,7 @@ Usage (cluster):
     spark-submit --py-files engine.zip jobs/tiers_job.py \\
         --warehouse s3://lake/gorilla --out s3://lake/gorilla_tiers \\
         [--x-channel len --y-channel words] [--twa-channel len] \\
+        [--rate-channel bytes_total] \\
         [--hb-ms 300000] [--bucket-ms 3600000] [--coarse-ms 86400000]
 
 Usage (sandbox):
@@ -33,6 +35,10 @@ def main() -> None:
     ap.add_argument("--x-channel", default="len")
     ap.add_argument("--y-channel", default="words")
     ap.add_argument("--twa-channel", default="len")
+    ap.add_argument("--rate-channel", default=None,
+                    help="counter channel for the rate tier; omitted "
+                         "= skip the rate family (gauges don't have a "
+                         "natural counter)")
     ap.add_argument("--hb-ms", type=int, default=5 * 60_000)
     ap.add_argument("--bucket-ms", type=int, default=3_600_000)
     ap.add_argument("--coarse-ms", type=int, default=86_400_000)
@@ -60,6 +66,8 @@ def main() -> None:
 
     spark = get_spark("tiers-job", cores=args.cores)
     chans = {args.x_channel, args.y_channel, args.twa_channel}
+    if args.rate_channel:
+        chans.add(args.rate_channel)
     blocks = read_blocks(spark, args.warehouse).where(
         F.col("channel").isin(*chans))
     pts = (decode_blocks(blocks, args.predictor)
@@ -103,6 +111,17 @@ def main() -> None:
     write("hb_coarse", cascade_heartbeat_tier(
         spark.read.parquet(os.path.join(args.out, "hb_fine")),
         args.bucket_ms, args.coarse_ms, args.hb_ms))
+
+    # counter rate over a monotone-counter channel, when the store has
+    # one (reset-corrected increase/resets per bucket)
+    if args.rate_channel:
+        from gorilla_tsc_spark.operators.rate import (cascade_rate_tier,
+                                                      rate_tier)
+        rate_pts = pts.where(F.col("channel") == args.rate_channel)
+        write("rate_fine", rate_tier(rate_pts, args.bucket_ms))
+        write("rate_coarse", cascade_rate_tier(
+            spark.read.parquet(os.path.join(args.out, "rate_fine")),
+            args.bucket_ms, args.coarse_ms))
 
     pts.unpersist()
     print(json.dumps(counters))

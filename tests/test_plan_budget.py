@@ -53,13 +53,14 @@ EXCHANGE_BUDGET = {
     "m4_downsample": 3,
     # derivation + 1h rollup + one series-keyed window
     "anomaly_zscore_1h": 3,
-    # three family branches unioned, measured 5 at sf0.001: corr
-    # (derivation + 1h pair-stats groupBy; the 1d cascade reuses the
-    # conv prefix) + twa (derivation + series window, groupBys reuse
-    # the window's conv_id hash partitioning) + heartbeat (derivation
-    # + beat-dedup distinct + series window, sharing the twa branch's
-    # exchange where the plans align)
-    "tier_families_1d": 6,
+    # four family branches unioned, and the GATE deliberately routes
+    # each through its late-data refresh path (deterministic on-time /
+    # late split, build, refresh, cascade) so the refresh algebra is
+    # driver-oracled — that harness shape adds ~3 broadcast semi/anti
+    # exchanges + a rebuild per family (measured 33 at sf0.001).  The
+    # PRODUCTION family plans (plain build + cascade) are pinned
+    # separately in test_family_production_plans below.
+    "tier_families_1d": 34,
     # derivation + encode (conv,day,seq) shuffle; the zone-map prune is
     # a scan-side filter, never an exchange
     "value_scan": 3,
@@ -171,6 +172,60 @@ def test_maintenance_operator_plans(spark):
         assert plans_count(cases["decontaminate"], "BroadcastHashJoin") >= 2
         assert "SortMergeJoin" not in cases["decontaminate"] \
             ._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_family_production_plans(spark):
+    """PRODUCTION plan shape of the four tier families (plain build +
+    cascade — what a cluster actually runs; the registry gate wraps
+    them in the refresh harness): each family must plan at most 3
+    exchanges (derivation + one series window/groupBy chain that
+    reuses the conv_id hash partitioning + the cascade), with no
+    cartesian anywhere."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gorilla_tsc_spark.operators.correlate import (cascade_corr_tier,
+                                                       corr_tier)
+    from gorilla_tsc_spark.operators.heartbeat import (
+        cascade_heartbeat_tier, heartbeat_tier)
+    from gorilla_tsc_spark.operators.rate import cascade_rate_tier, rate_tier
+    from gorilla_tsc_spark.operators.rollup import DAY_MS, HOUR_MS
+    from gorilla_tsc_spark.operators.timeweight import (cascade_twa_tier,
+                                                        twa_tier)
+    from gorilla_tsc_spark.queries import _len_points, _transcripts
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        t = _transcripts(spark, SF)
+        xy = t.select("conv_id", F.unix_millis("ts").alias("ts_ms"),
+                      F.length("text").cast("double").alias("x"),
+                      F.size(F.split("text", r"\s+")).cast("double")
+                      .alias("y"))
+        pts = _len_points(spark, SF)
+        wcum = (Window.partitionBy("conv_id").orderBy("ts_ms", "v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        ctr = pts.select("conv_id", "ts_ms",
+                         (F.sum("v").over(wcum).cast("long") % 50_000)
+                         .cast("double").alias("v"))
+        hb = 5 * 60_000
+        cases = {
+            "corr": cascade_corr_tier(corr_tier(xy, HOUR_MS),
+                                      HOUR_MS, DAY_MS),
+            "twa": cascade_twa_tier(twa_tier(pts, HOUR_MS),
+                                    HOUR_MS, DAY_MS),
+            "heartbeat": cascade_heartbeat_tier(
+                heartbeat_tier(pts.select("conv_id", "ts_ms"), HOUR_MS, hb),
+                HOUR_MS, DAY_MS, hb),
+            "rate": cascade_rate_tier(rate_tier(ctr, HOUR_MS),
+                                      HOUR_MS, DAY_MS),
+        }
+        for name, df in cases.items():
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert not any(f in plan for f in FORBIDDEN), name
+            got = plan.count("Exchange ")
+            assert got <= 3, (name, got)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 

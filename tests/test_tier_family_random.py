@@ -21,6 +21,9 @@ from gorilla_tsc_spark.operators.correlate import (cascade_corr_tier,
 from gorilla_tsc_spark.operators.heartbeat import (cascade_heartbeat_tier,
                                                    heartbeat_tier,
                                                    refresh_heartbeat_tier)
+from gorilla_tsc_spark.operators.rate import (cascade_rate_tier,
+                                              rate_tier,
+                                              refresh_rate_tier)
 from gorilla_tsc_spark.operators.rollup import DAY_MS, HOUR_MS
 from gorilla_tsc_spark.operators.timeweight import (cascade_twa_tier,
                                                     refresh_twa_tier,
@@ -99,6 +102,23 @@ def test_family_laws_on_adversarial_corpora(spark):
                 late.withColumnRenamed("x", "v"),
                 on_time.withColumnRenamed("x", "v"), HOUR_MS), tcols),
             _key(fine, tcols), f"twa refresh seed={seed}")
+
+        # --- rate: reset-corrected seam pairs; x as the "counter" is
+        # deliberately NON-monotone chaos — the algebra never assumes
+        # monotonicity, so resets fire constantly and must still merge
+        rcols = ("n", "first_ts", "first_v", "last_ts", "last_v",
+                 "increase", "resets")
+        pv = pts.withColumnRenamed("x", "v")
+        fine = rate_tier(pv, HOUR_MS)
+        _assert_close(_key(cascade_rate_tier(fine, HOUR_MS, DAY_MS), rcols),
+                      _key(rate_tier(pv, DAY_MS), rcols),
+                      f"rate cascade seed={seed}")
+        _assert_close(
+            _key(refresh_rate_tier(
+                rate_tier(on_time.withColumnRenamed("x", "v"), HOUR_MS),
+                late.withColumnRenamed("x", "v"),
+                on_time.withColumnRenamed("x", "v"), HOUR_MS), rcols),
+            _key(fine, rcols), f"rate refresh seed={seed}")
 
         # --- heartbeat: seam gaps, interruption un-counting on refresh
         hcols = ("n", "first_ts", "last_ts", "live_ms", "max_gap_ms",

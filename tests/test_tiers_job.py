@@ -13,6 +13,7 @@ from gorilla_tsc_spark.operators.correlate import corr_tier
 from gorilla_tsc_spark.operators.encode import (block_value_column,
                                                 decode_blocks)
 from gorilla_tsc_spark.operators.heartbeat import heartbeat_tier
+from gorilla_tsc_spark.operators.rate import rate_tier
 from gorilla_tsc_spark.operators.rollup import HOUR_MS
 from gorilla_tsc_spark.operators.timeweight import twa_tier
 from gorilla_tsc_spark.pipeline import read_blocks, run_pipeline
@@ -31,7 +32,8 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
 
     import jobs.tiers_job as job
     monkeypatch.setattr(sys, "argv", [
-        "tiers_job.py", "--warehouse", wh, "--out", out, "--cores", "8"])
+        "tiers_job.py", "--warehouse", wh, "--out", out, "--cores", "8",
+        "--rate-channel", "len"])
     # the job ends with spark.stop(); it shares the pytest session via
     # getOrCreate, so neuter stop for the in-process invocation
     monkeypatch.setattr(SparkSession, "stop", lambda self: None)
@@ -56,6 +58,11 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
     assert (_rows(spark.read.parquet(f"{out}/hb_fine"))
             == _rows(heartbeat_tier(lenpts.select("conv_id", "ts_ms"),
                                     HOUR_MS, 5 * 60_000)))
-    for name in ("corr_coarse", "twa_coarse", "hb_coarse"):
+    # the rate family treats the gauge channel as a (chaotic) counter —
+    # its algebra never assumes monotonicity, so the equality still pins
+    # the job's wiring exactly
+    assert (_rows(spark.read.parquet(f"{out}/rate_fine"))
+            == _rows(rate_tier(lenpts, HOUR_MS)))
+    for name in ("corr_coarse", "twa_coarse", "hb_coarse", "rate_coarse"):
         assert counters[name] > 0
     pts.unpersist()
