@@ -350,8 +350,16 @@ def main() -> None:
     # functions (NOT the registry, whose r4 consolidation merged some
     # entries) so the vs-prev-round ratio map stays like-for-like.
     # textstats_all gained the pii columns in r4 (documented delta).
+    # rollup_1m: the registry gate routes through refresh_tier (r5, to
+    # driver-oracle the numeric refresh algebra); the bench keeps
+    # timing the PRODUCTION plain build so the ratio map stays
+    # like-for-like with r3/r4 records
+    def _bench_rollup_1m(spark_, sf_dir_):
+        return rollup_points(Q._len_points(spark_, sf_dir_), MINUTE_MS,
+                             F.col("v"), keys=("conv_id",))
+
     bench_queries = {
-        "rollup_1m": Q.q_rollup_1m,
+        "rollup_1m": _bench_rollup_1m,
         "rollup_cascade": Q.q_rollup_cascade,
         "rollup_1d_from_blocks": Q.q_rollup_1d_from_blocks,
         "rollup_1d_from_auto_blocks": Q.q_rollup_1d_from_auto_blocks,

@@ -87,8 +87,19 @@ def q_transcripts_derive(spark, sf_dir):
 
 
 def q_rollup_1m(spark, sf_dir):
-    return rollup_points(_len_points(spark, sf_dir), MINUTE_MS, F.col("v"),
-                         keys=("conv_id",))
+    """Numeric 1m tier, built THROUGH the continuous-aggregate refresh
+    path (deterministic on-time/late split → rollup → `refresh_tier`
+    delta merge) while the oracle rolls up all points directly — the
+    same routing trick as `tier_families_1d`, so the numeric family's
+    refresh algebra is driver-oracled too.  Exact: cnt/min/max/sum
+    recombine associatively for integer-valued doubles."""
+    from .operators.rollup import refresh_tier
+    pts = _len_points(spark, sf_dir)
+    late_pred = F.xxhash64("conv_id", "ts_ms") % 4 == 0
+    on_time = rollup_points(pts.where(~late_pred), MINUTE_MS, F.col("v"),
+                            keys=("conv_id",))
+    return refresh_tier(on_time, pts.where(late_pred), MINUTE_MS,
+                        keys=("conv_id",))
 
 
 def q_rollup_cascade(spark, sf_dir):
