@@ -33,6 +33,49 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _bw_probe(_=None) -> tuple[float, float]:
+    """(cold, warm) memory-bandwidth samples in MB/s (~1-3 s).
+
+    cold = first multiply, dominated by result-buffer page faults —
+    tracks the host's memory-management contention (can be 25x slower
+    than warm on a bad day); warm = steady-state streaming bandwidth.
+    """
+    import numpy as np
+    a = np.ones(100_000_000 // 8)
+    t0 = time.time()
+    a * 1.000001
+    cold = 200 / (time.time() - t0)
+    t0 = time.time()
+    for _ in range(5):
+        a * 1.000001
+    return cold, 5 * 200 / (time.time() - t0)
+
+
+def _host_probe() -> dict | None:
+    """Stamp the bench record with the host's memory-bandwidth envelope.
+
+    The sandbox host's aggregate bandwidth drifts by day (measured 21
+    GB/s -> 2.4 GB/s at 8 procs between rounds 4 and 5 with zero code
+    change — BENCH/BASELINE.md 'day-2 re-runs'), which dominates every
+    data-bound timing. Recording the envelope beside the timings makes
+    records comparable after the fact. Runs AFTER all measurements so
+    it cannot perturb them; skipped via SPARK_GRAFT_BENCH_HOSTPROBE=0.
+    """
+    if os.environ.get("SPARK_GRAFT_BENCH_HOSTPROBE", "1") == "0":
+        return None
+    try:
+        from multiprocessing import Pool
+        cold, warm = _bw_probe()
+        with Pool(8) as p:
+            pairs = p.map(_bw_probe, range(8))
+        return {"bw_1proc_cold_MBs": round(cold),
+                "bw_1proc_warm_MBs": round(warm),
+                "bw_8proc_agg_cold_MBs": round(sum(c for c, _ in pairs)),
+                "bw_8proc_agg_warm_MBs": round(sum(w for _, w in pairs))}
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
@@ -444,6 +487,7 @@ def main() -> None:
         "bench_reps": reps,
         "noise_spread": spreads,
         "vs_prev": vs_prev,
+        "host_probe": _host_probe(),
     }
     try:
         os.makedirs(os.path.dirname(detail_path), exist_ok=True)
