@@ -318,6 +318,19 @@ def main() -> None:
 
     run("rate_tier_1h_1d", rate_tier_bench)
 
+    from gorilla_tsc_spark.operators.histogram import (cascade_hist_tier,
+                                                       hist_estimates,
+                                                       histogram_tier)
+
+    def hist_tier_bench():
+        pts = Q._len_points(spark, sf_dir)
+        tier = histogram_tier(pts, HOUR_MS, 24.0, 4.0, 16)
+        stats["hist_1d_buckets"] = hist_estimates(
+            cascade_hist_tier(tier, HOUR_MS, DAY_MS, 16),
+            24.0, 4.0, 16).count()
+
+    run("hist_tier_1h_1d", hist_tier_bench)
+
     from gorilla_tsc_spark.operators.rollup import rollup_points
     from gorilla_tsc_spark.operators.smoothing import ewma_serve
 

@@ -792,6 +792,10 @@ HB_MS = 5 * 60_000        # heartbeat declared beat interval (5 min)
 EWMA_HL_MS = 6 * HOUR_MS  # EWMA serve half-life
 MONTH_MS = 30 * DAY_MS    # sketch-merge coarse grain
 RATE_CAP = 50_000         # synthetic counter wrap modulus (forces resets)
+# fixed-bin histogram family band over the text-length channel: chosen
+# so the fixture corpus populates BOTH overflow counters (below/above)
+HIST_LO, HIST_W, HIST_NBINS = 24.0, 4.0, 16
+HIST_HI = HIST_LO + HIST_W * HIST_NBINS
 
 # one wide, family-tagged schema for the round-4/5 tier families
 # (the ann_topk house pattern): columns a family doesn't serve are
@@ -823,6 +827,9 @@ _TF_COLS = (
     ("increase", "double"), ("resets", "long"),
     ("rate_per_s", "double"), ("increase_interp", "double"),
     ("resets_interp", "long"),
+    # fixed-bin histogram (operators/histogram.py); n shared
+    ("below", "long"), ("above", "long"),
+    ("p50", "double"), ("p90", "double"), ("p99", "double"),
 )
 
 
@@ -839,15 +846,19 @@ def _tf_pad(df: DataFrame, family: str) -> DataFrame:
 
 
 def q_tier_families_1d(spark, sf_dir):
-    """All four tier families under ONE driver gate, each built at 1h
+    """All five tier families under ONE driver gate, each built at 1h
     THROUGH ITS LATE-DATA REFRESH PATH and CASCADED to 1d while the
     oracle builds 1d DIRECT from all points — so the gate pins each
-    family's refresh algebra (corr: delta-tier sum-merge; twa /
+    family's refresh algebra (corr / hist: delta-tier sum-merge; twa /
     heartbeat / rate: invalidation rebuild of only late-touched
     buckets) AND its merge algebra (corr: sum-merge of the six
     sufficient statistics; twa: sums + LOCF seam bridges; heartbeat:
     sums/maxes + one seam gap; rate: sums + one reset-corrected seam
-    pair), not just the fine build.  The split is deterministic
+    pair; hist: element-wise vector sum of bin counts), not just the
+    fine build.  The hist branch additionally pins the
+    histogram_quantile serve (cumulative walk + in-bin interpolation
+    over integer-valued doubles — IEEE-identical on both engines,
+    6dp-rounded).  The split is deterministic
     (xxhash64 % 4 → "late"), the same routing trick `compact_roundtrip`
     uses with `ingest_backfill`.  The twa, heartbeat and rate branches
     also carry their interpolated serves (LOCF edge extension /
@@ -863,6 +874,8 @@ def q_tier_families_1d(spark, sf_dir):
 
     from .operators.correlate import (cascade_corr_tier, corr_estimates,
                                       corr_tier, refresh_corr_tier)
+    from .operators.histogram import (cascade_hist_tier, hist_estimates,
+                                      histogram_tier, refresh_hist_tier)
     from .operators.heartbeat import (cascade_heartbeat_tier,
                                       heartbeat_estimates,
                                       heartbeat_interpolated_estimates,
@@ -930,10 +943,21 @@ def q_tier_families_1d(spark, sf_dir):
         "last_v", "duration_ms", "increase", "resets",
         (F.round("rate_per_s", 6) + F.lit(0.0)).alias("rate_per_s"),
         "increase_interp", "resets_interp")
+    hist_fine = refresh_hist_tier(
+        histogram_tier(on_time, HOUR_MS, HIST_LO, HIST_W, HIST_NBINS),
+        late, HOUR_MS, HIST_LO, HIST_W, HIST_NBINS)
+    hist = hist_estimates(
+        cascade_hist_tier(hist_fine, HOUR_MS, DAY_MS, HIST_NBINS),
+        HIST_LO, HIST_W, HIST_NBINS).select(
+        "conv_id", "bucket", "n", "below", "above",
+        (F.round("p50", 6) + z).alias("p50"),
+        (F.round("p90", 6) + z).alias("p90"),
+        (F.round("p99", 6) + z).alias("p99"))
     return (_tf_pad(corr, "corr")
             .unionByName(_tf_pad(twa, "twa"))
             .unionByName(_tf_pad(hb, "heartbeat"))
-            .unionByName(_tf_pad(rate, "rate")))
+            .unionByName(_tf_pad(rate, "rate"))
+            .unionByName(_tf_pad(hist, "hist")))
 
 
 def _tf_nulls(*names: str) -> str:
@@ -950,11 +974,30 @@ _TF_HB_NAMES = ("live_ms", "max_gap_ms", "interruptions", "span_ms",
                 "live_interp_ms", "uptime_interp", "downtime_interp_ms")
 _TF_RATE_NAMES = ("increase", "resets", "rate_per_s", "increase_interp",
                   "resets_interp")
+_TF_HIST_NAMES = ("below", "above", "p50", "p90", "p99")
 
 
 def _tier_families_sql() -> str:
     d, hb, cap = DAY_MS, HB_MS, RATE_CAP
+    lo, w, nb, hi = HIST_LO, HIST_W, HIST_NBINS, HIST_HI
     day_b = f"CAST(floor(ts_ms / {d}) AS BIGINT) * {d}"
+
+    # histogram_quantile twins: same crossing rule and interpolation
+    # expression as operators/histogram.py::_quantile_expr, over
+    # integer-valued doubles -> IEEE-identical on both engines
+    def xq(q: float, alias: str) -> str:
+        qn = f"{q} * t.n"
+        return (f"min(CASE WHEN u.bin >= 0 AND u.bin < {nb} AND u.c > 0\n"
+                f"                        AND u.cuma >= {qn}\n"
+                f"                        AND u.cuma - u.c < {qn}\n"
+                f"                   THEN {lo} + u.bin * {w}\n"
+                f"                        + {w} * ({qn} - (u.cuma - u.c))"
+                f" / u.c END) AS {alias}")
+
+    def pq(q: float, x: str, alias: str) -> str:
+        return (f"round(CASE WHEN {q} * t.n <= t.below THEN {lo}\n"
+                f"                  ELSE coalesce(q.{x}, {hi}) END, 6)"
+                f" + 0.0 AS {alias}")
     return _with_transcripts(f"""{_PTS_SQL},
 cpts AS (SELECT conv_id, epoch_ms(ts) AS ts_ms,
                 CAST(length(text) AS DOUBLE) AS x,
@@ -1088,7 +1131,37 @@ rf AS (SELECT conv_id, bucket, n, first_ts, first_v, last_ts, last_v,
                               ELSE first_v END AS increase_interp,
               resets + CASE WHEN prev_lv IS NOT NULL AND first_v < prev_lv
                             THEN 1 ELSE 0 END AS resets_interp
-       FROM re)
+       FROM re),
+hgb AS (SELECT conv_id, {day_b} AS bucket,
+               CASE WHEN v < {lo} THEN -1
+                    WHEN v >= {hi} THEN {nb}
+                    ELSE CAST(least(floor((v - {lo}) / {w}), {nb} - 1)
+                         AS INT)
+               END AS bin
+        FROM pts WHERE v IS NOT NULL),
+hgc AS (SELECT conv_id, bucket, bin, count(*) AS c
+        FROM hgb GROUP BY 1, 2, 3),
+hgt AS (SELECT conv_id, bucket, CAST(sum(c) AS BIGINT) AS n,
+               CAST(coalesce(sum(c) FILTER (WHERE bin = -1), 0)
+                    AS BIGINT) AS below,
+               CAST(coalesce(sum(c) FILTER (WHERE bin = {nb}), 0)
+                    AS BIGINT) AS above
+        FROM hgc GROUP BY 1, 2),
+hgu AS (SELECT conv_id, bucket, bin, c,
+               sum(c) OVER (PARTITION BY conv_id, bucket
+                            ORDER BY bin) AS cuma
+        FROM hgc),
+hgq AS (SELECT u.conv_id, u.bucket,
+               {xq(0.5, "x50")},
+               {xq(0.9, "x90")},
+               {xq(0.99, "x99")}
+        FROM hgu u JOIN hgt t USING (conv_id, bucket)
+        GROUP BY 1, 2),
+hgf AS (SELECT t.conv_id, t.bucket, t.n, t.below, t.above,
+               {pq(0.5, "x50", "p50")},
+               {pq(0.9, "x90", "p90")},
+               {pq(0.99, "x99", "p99")}
+        FROM hgt t JOIN hgq q USING (conv_id, bucket))
 SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        round((n * sxy - sx * sy) / (n * n), 6) + 0.0 AS cov,
        CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
@@ -1107,7 +1180,8 @@ SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        {_tf_nulls("first_ts", "last_ts")},
        {_tf_nulls(*_TF_TWA_NAMES)},
        {_tf_nulls(*_TF_HB_NAMES)},
-       {_tf_nulls(*_TF_RATE_NAMES)}
+       {_tf_nulls(*_TF_RATE_NAMES)},
+       {_tf_nulls(*_TF_HIST_NAMES)}
 FROM ct
 UNION ALL
 SELECT 'twa', conv_id, bucket, n,
@@ -1115,7 +1189,8 @@ SELECT 'twa', conv_id, bucket, n,
        first_ts, last_ts, first_v, last_v, wsum, duration_ms, twa,
        covered_ms, twa_interp,
        {_tf_nulls(*_TF_HB_NAMES)},
-       {_tf_nulls(*_TF_RATE_NAMES)}
+       {_tf_nulls(*_TF_RATE_NAMES)},
+       {_tf_nulls(*_TF_HIST_NAMES)}
 FROM tf
 UNION ALL
 SELECT 'heartbeat', conv_id, bucket, n,
@@ -1126,7 +1201,8 @@ SELECT 'heartbeat', conv_id, bucket, n,
        live_ms, max_gap_ms, interruptions, span_ms, uptime_ratio,
        downtime_ms, window_ms, live_interp_ms, uptime_interp,
        downtime_interp_ms,
-       {_tf_nulls(*_TF_RATE_NAMES)}
+       {_tf_nulls(*_TF_RATE_NAMES)},
+       {_tf_nulls(*_TF_HIST_NAMES)}
 FROM hbf
 UNION ALL
 SELECT 'rate', conv_id, bucket, n,
@@ -1136,8 +1212,18 @@ SELECT 'rate', conv_id, bucket, n,
        duration_ms,
        {_tf_nulls("twa", "covered_ms", "twa_interp")},
        {_tf_nulls(*_TF_HB_NAMES)},
-       increase, resets, rate_per_s, increase_interp, resets_interp
-FROM rf""")
+       increase, resets, rate_per_s, increase_interp, resets_interp,
+       {_tf_nulls(*_TF_HIST_NAMES)}
+FROM rf
+UNION ALL
+SELECT 'hist', conv_id, bucket, n,
+       {_tf_nulls(*_TF_CORR_NAMES)},
+       {_tf_nulls("first_ts", "last_ts")},
+       {_tf_nulls(*_TF_TWA_NAMES)},
+       {_tf_nulls(*_TF_HB_NAMES)},
+       {_tf_nulls(*_TF_RATE_NAMES)},
+       below, above, p50, p90, p99
+FROM hgf""")
 
 
 def q_codec_roundtrip_variants(spark, sf_dir):

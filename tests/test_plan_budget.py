@@ -53,14 +53,17 @@ EXCHANGE_BUDGET = {
     "m4_downsample": 3,
     # derivation + 1h rollup + one series-keyed window
     "anomaly_zscore_1h": 3,
-    # four family branches unioned, and the GATE deliberately routes
+    # five family branches unioned, and the GATE deliberately routes
     # each through its late-data refresh path (deterministic on-time /
     # late split, build, refresh, cascade) so the refresh algebra is
     # driver-oracled — that harness shape adds ~3 broadcast semi/anti
-    # exchanges + a rebuild per family (measured 33 at sf0.001).  The
-    # PRODUCTION family plans (plain build + cascade) are pinned
-    # separately in test_family_production_plans below.
-    "tier_families_1d": 34,
+    # exchanges + a rebuild per family for the invalidation-rebuild
+    # families (measured 33 at sf0.001 with four).  The distributive
+    # hist family costs only 2 more (build + one delta-merge; its
+    # cascade and quantile serve add none).  The PRODUCTION family
+    # plans (plain build + cascade) are pinned separately in
+    # test_family_production_plans below.
+    "tier_families_1d": 36,
     # derivation + encode (conv,day,seq) shuffle; the zone-map prune is
     # a scan-side filter, never an exchange
     "value_scan": 3,
@@ -177,7 +180,7 @@ def test_maintenance_operator_plans(spark):
 
 
 def test_family_production_plans(spark):
-    """PRODUCTION plan shape of the four tier families (plain build +
+    """PRODUCTION plan shape of the five tier families (plain build +
     cascade — what a cluster actually runs; the registry gate wraps
     them in the refresh harness): each family must plan at most 3
     exchanges (derivation + one series window/groupBy chain that
@@ -190,6 +193,9 @@ def test_family_production_plans(spark):
                                                        corr_tier)
     from gorilla_tsc_spark.operators.heartbeat import (
         cascade_heartbeat_tier, heartbeat_tier)
+    from gorilla_tsc_spark.operators.histogram import (cascade_hist_tier,
+                                                       hist_estimates,
+                                                       histogram_tier)
     from gorilla_tsc_spark.operators.rate import cascade_rate_tier, rate_tier
     from gorilla_tsc_spark.operators.rollup import DAY_MS, HOUR_MS
     from gorilla_tsc_spark.operators.timeweight import (cascade_twa_tier,
@@ -220,6 +226,10 @@ def test_family_production_plans(spark):
                 HOUR_MS, DAY_MS, hb),
             "rate": cascade_rate_tier(rate_tier(ctr, HOUR_MS),
                                       HOUR_MS, DAY_MS),
+            "hist": hist_estimates(
+                cascade_hist_tier(histogram_tier(pts, HOUR_MS, 24.0,
+                                                 4.0, 16),
+                                  HOUR_MS, DAY_MS, 16), 24.0, 4.0, 16),
         }
         for name, df in cases.items():
             plan = df._jdf.queryExecution().executedPlan().toString()

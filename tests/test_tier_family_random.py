@@ -1,5 +1,6 @@
-"""Randomized adversarial-shape gate for the round-4 tier families
-(correlate / timeweight / heartbeat): per seed, a synthetic corpus with
+"""Randomized adversarial-shape gate for the round-4/5 tier families
+(correlate / timeweight / heartbeat / rate / histogram): per seed, a
+synthetic corpus with
 timestamp TIES, multi-day silences, bursts, and singleton series —
 shapes the transcript-derived corpus doesn't stress — must satisfy the
 two family laws on every run:
@@ -21,6 +22,9 @@ from gorilla_tsc_spark.operators.correlate import (cascade_corr_tier,
 from gorilla_tsc_spark.operators.heartbeat import (cascade_heartbeat_tier,
                                                    heartbeat_tier,
                                                    refresh_heartbeat_tier)
+from gorilla_tsc_spark.operators.histogram import (cascade_hist_tier,
+                                                   histogram_tier,
+                                                   refresh_hist_tier)
 from gorilla_tsc_spark.operators.rate import (cascade_rate_tier,
                                               rate_tier,
                                               refresh_rate_tier)
@@ -119,6 +123,23 @@ def test_family_laws_on_adversarial_corpora(spark):
                 late.withColumnRenamed("x", "v"),
                 on_time.withColumnRenamed("x", "v"), HOUR_MS), rcols),
             _key(fine, rcols), f"rate refresh seed={seed}")
+
+        # --- histogram: element-wise vector-sum merges; band chosen so
+        # the chaos corpus populates both overflow counters
+        gcols = ("n", "below", "above", "counts")
+        pv = pts.withColumnRenamed("x", "v")
+        fine = histogram_tier(pv, HOUR_MS, 100.0, 50.0, 8)
+        _assert_close(
+            _key(cascade_hist_tier(fine, HOUR_MS, DAY_MS, 8), gcols),
+            _key(histogram_tier(pv, DAY_MS, 100.0, 50.0, 8), gcols),
+            f"hist cascade seed={seed}")
+        _assert_close(
+            _key(refresh_hist_tier(
+                histogram_tier(on_time.withColumnRenamed("x", "v"),
+                               HOUR_MS, 100.0, 50.0, 8),
+                late.withColumnRenamed("x", "v"),
+                HOUR_MS, 100.0, 50.0, 8), gcols),
+            _key(fine, gcols), f"hist refresh seed={seed}")
 
         # --- heartbeat: seam gaps, interruption un-counting on refresh
         hcols = ("n", "first_ts", "last_ts", "live_ms", "max_gap_ms",
