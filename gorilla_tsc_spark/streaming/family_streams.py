@@ -20,6 +20,10 @@ POINT stream (series, ts, v) where v is the measured counter sample:
 in production the counter IS the wire channel; the driver gate's
 cumulative-sum derivation from transcripts exists only to synthesize
 a counter deterministically from the test corpus.
+
+The fixed-bin histogram (operators/histogram.py) is the corr class —
+bin counts are order-insensitive sums — so `stream_hist_tier` is a
+watermarked windowed aggregation too, bit-equal to the batch build.
 """
 from __future__ import annotations
 
@@ -58,6 +62,35 @@ def stream_corr_tier(transcripts_stream: DataFrame, window: str = "1 hour",
     return agg.select("conv_id",
                       F.unix_millis(F.col("w.start")).alias("bucket"),
                       "n", "sx", "sy", "sxx", "syy", "sxy")
+
+
+def stream_hist_tier(points_stream: DataFrame, lo: float, width: float,
+                     nbins: int, window: str = "1 hour",
+                     watermark: str = "10 minutes") -> DataFrame:
+    """Point stream (conv_id, ts, v) → watermark-sealed histogram tier
+    rows, bit-equal to the batch `histogram_tier` at the same grain:
+    every component (n, below, above, each bin count) is a sum, exact
+    in any arrival order — pure JVM, append mode, no state operator."""
+    from ..operators.histogram import _bin_expr
+
+    v = F.col("v").cast("double")
+    pts = (points_stream
+           .where(v.isNotNull())
+           .select("conv_id", F.col("ts").cast("timestamp").alias("ts"),
+                   v.alias("v")))
+    b = _bin_expr(F.col("v"), lo, width, nbins)
+    agg = (pts.withWatermark("ts", watermark)
+           .groupBy("conv_id", F.window("ts", window).alias("w"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum((b == -1).cast("long")).alias("below"),
+                F.sum((b == nbins).cast("long")).alias("above"),
+                F.array(*[
+                    F.sum(F.when(b == i, F.lit(1))
+                          .otherwise(F.lit(0)).cast("long"))
+                    for i in range(nbins)]).alias("counts")))
+    return agg.select("conv_id",
+                      F.unix_millis(F.col("w.start")).alias("bucket"),
+                      "n", "below", "above", "counts")
 
 
 STREAM_TWA_SCHEMA = T.StructType([

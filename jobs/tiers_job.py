@@ -1,8 +1,8 @@
 """spark-submit entry point building the tier families from a
 block-store warehouse: cross-channel correlation, time-weighted
-average, heartbeat/uptime, and (optionally) counter rate — each at a
-fine grain plus one cascaded coarse grain, written as parquet tier
-tables under --out.
+average, heartbeat/uptime, (optionally) counter rate, and (optionally)
+a fixed-bin histogram — each at a fine grain plus one cascaded coarse
+grain, written as parquet tier tables under --out.
 
 Decode happens ONCE (all families share the exploded points),
 optionally narrowed to the channels actually used; every downstream
@@ -13,6 +13,7 @@ Usage (cluster):
         --warehouse s3://lake/gorilla --out s3://lake/gorilla_tiers \\
         [--x-channel len --y-channel words] [--twa-channel len] \\
         [--rate-channel bytes_total] \\
+        [--hist-band 24:4:16]  # lo:width:nbins over the twa channel \\
         [--hb-ms 300000] [--bucket-ms 3600000] [--coarse-ms 86400000]
 
 Usage (sandbox):
@@ -39,6 +40,10 @@ def main() -> None:
                     help="counter channel for the rate tier; omitted "
                          "= skip the rate family (gauges don't have a "
                          "natural counter)")
+    ap.add_argument("--hist-band", default=None,
+                    help="lo:width:nbins — value band for the fixed-bin "
+                         "histogram tier over the twa channel; omitted "
+                         "= skip the histogram family")
     ap.add_argument("--hb-ms", type=int, default=5 * 60_000)
     ap.add_argument("--bucket-ms", type=int, default=3_600_000)
     ap.add_argument("--coarse-ms", type=int, default=86_400_000)
@@ -50,6 +55,16 @@ def main() -> None:
         ap.error("--x-channel and --y-channel must differ (the corr "
                  "tier pivots both out of one channel column; equal "
                  "names would yield an ambiguous duplicate column)")
+    hist_band = None
+    if args.hist_band:
+        try:
+            lo_s, w_s, nb_s = args.hist_band.split(":")
+            hist_band = (float(lo_s), float(w_s), int(nb_s))
+            if hist_band[1] <= 0 or hist_band[2] <= 0:
+                raise ValueError
+        except ValueError:
+            ap.error("--hist-band must be lo:width:nbins with width > 0 "
+                     "and nbins > 0 (e.g. 24:4:16)")
 
     from pyspark.sql import functions as F
 
@@ -122,6 +137,19 @@ def main() -> None:
         write("rate_coarse", cascade_rate_tier(
             spark.read.parquet(os.path.join(args.out, "rate_fine")),
             args.bucket_ms, args.coarse_ms))
+
+    # fixed-bin histogram over the twa channel, when a band is declared
+    # (the band is an operator decision — an SLO threshold grid, a
+    # latency budget — not something to infer from data)
+    if hist_band:
+        from gorilla_tsc_spark.operators.histogram import (cascade_hist_tier,
+                                                           histogram_tier)
+        lo, w, nb = hist_band
+        write("hist_fine", histogram_tier(twa_pts, args.bucket_ms,
+                                          lo, w, nb))
+        write("hist_coarse", cascade_hist_tier(
+            spark.read.parquet(os.path.join(args.out, "hist_fine")),
+            args.bucket_ms, args.coarse_ms, nb))
 
     pts.unpersist()
     print(json.dumps(counters))

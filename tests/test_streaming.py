@@ -198,16 +198,19 @@ def test_stream_heartbeat_matches_batch(spark, transcripts_dir, tmp_path):
 
 
 def test_stream_corr_and_twa_match_batch(spark, transcripts_dir, tmp_path):
-    """Streaming twins for the remaining round-4 families: corr (pure
-    watermarked sums, order-insensitive) full-set-equals the batch tier
+    """Streaming twins for the round-4/5 families: corr and hist (pure
+    watermarked sums, order-insensitive) full-set-equal the batch tier
     under sentinel replay; twa (stateful LOCF integral) likewise."""
     from datetime import timedelta
 
     from gorilla_tsc_spark.operators.correlate import corr_tier
+    from gorilla_tsc_spark.operators.histogram import histogram_tier
     from gorilla_tsc_spark.operators.rollup import HOUR_MS
     from gorilla_tsc_spark.operators.timeweight import twa_tier
     from gorilla_tsc_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
-    from gorilla_tsc_spark.streaming import stream_corr_tier, stream_twa_tier
+    from gorilla_tsc_spark.streaming import (stream_corr_tier,
+                                             stream_hist_tier,
+                                             stream_twa_tier)
 
     batch_t = spark.read.parquet(transcripts_dir)
     replay = str(tmp_path / "replay2")
@@ -231,6 +234,14 @@ def test_stream_corr_and_twa_match_batch(spark, transcripts_dir, tmp_path):
          twa_tier(batch_t.select(
              "conv_id", F.unix_millis("ts").alias("ts_ms"),
              F.length("text").cast("double").alias("v")), HOUR_MS)),
+        ("hist_stream",
+         stream_hist_tier(stream.select(
+             "conv_id", "ts", F.length("text").cast("double").alias("v")),
+             32.0, 8.0, 8, window="1 hour"),
+         histogram_tier(batch_t.select(
+             "conv_id", F.unix_millis("ts").alias("ts_ms"),
+             F.length("text").cast("double").alias("v")),
+             HOUR_MS, 32.0, 8.0, 8)),
     ):
         q = (out.writeStream.format("memory").queryName(name)
              .outputMode("append")

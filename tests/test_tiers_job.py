@@ -13,6 +13,7 @@ from gorilla_tsc_spark.operators.correlate import corr_tier
 from gorilla_tsc_spark.operators.encode import (block_value_column,
                                                 decode_blocks)
 from gorilla_tsc_spark.operators.heartbeat import heartbeat_tier
+from gorilla_tsc_spark.operators.histogram import histogram_tier
 from gorilla_tsc_spark.operators.rate import rate_tier
 from gorilla_tsc_spark.operators.rollup import HOUR_MS
 from gorilla_tsc_spark.operators.timeweight import twa_tier
@@ -33,7 +34,7 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
     import jobs.tiers_job as job
     monkeypatch.setattr(sys, "argv", [
         "tiers_job.py", "--warehouse", wh, "--out", out, "--cores", "8",
-        "--rate-channel", "len"])
+        "--rate-channel", "len", "--hist-band", "24:4:16"])
     # the job ends with spark.stop(); it shares the pytest session via
     # getOrCreate, so neuter stop for the in-process invocation
     monkeypatch.setattr(SparkSession, "stop", lambda self: None)
@@ -63,6 +64,11 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
     # the job's wiring exactly
     assert (_rows(spark.read.parquet(f"{out}/rate_fine"))
             == _rows(rate_tier(lenpts, HOUR_MS)))
-    for name in ("corr_coarse", "twa_coarse", "hb_coarse", "rate_coarse"):
+    assert (_rows(spark.read.parquet(f"{out}/hist_fine")
+                  .withColumn("counts", F.col("counts").cast("string")))
+            == _rows(histogram_tier(lenpts, HOUR_MS, 24.0, 4.0, 16)
+                     .withColumn("counts", F.col("counts").cast("string"))))
+    for name in ("corr_coarse", "twa_coarse", "hb_coarse", "rate_coarse",
+                 "hist_coarse"):
         assert counters[name] > 0
     pts.unpersist()
