@@ -161,3 +161,39 @@ def hist_estimates(tier: DataFrame, lo: float, width: float, nbins: int,
     for q, name in quantiles:
         out = out.withColumn(name, _quantile_expr(q, lo, width, nbins))
     return out
+
+
+def merge_hist_series(tier: DataFrame, nbins: int, keys=()) -> DataFrame:
+    """Cross-series merge: sum histograms over ALL series per bucket
+    (or per any coarser key set) — the `sum by (le)` shape that makes
+    fleet-wide quantiles possible from per-series tiers without
+    revisiting raw data.  Exact, like every merge in this family."""
+    return _sum_merge(tier, nbins, keys)
+
+
+def hist_fraction_above(tier: DataFrame, threshold: float, lo: float,
+                        width: float, nbins: int,
+                        name: str = "frac_above") -> DataFrame:
+    """Serve: fraction of observations >= threshold per tier row — the
+    SLO-burn primitive ("what share of requests exceeded the budget").
+    Exact when the threshold is a bin edge; linearly interpolated
+    inside the straddled bin otherwise (the quantile serve's
+    convention, inverted).  A threshold below the band attributes the
+    `below` mass to < threshold; past the band only `above` counts.
+    Row-local arithmetic, no shuffle."""
+    hi = lo + width * nbins
+    n = F.col("n").cast("double")
+    above = F.col("above").cast("double")
+    if threshold <= lo:
+        cnt = n - F.col("below").cast("double")
+    elif threshold >= hi:
+        cnt = above
+    else:
+        k = min(int((threshold - lo) // width), nbins - 1)
+        part = (lo + (k + 1) * width - threshold) / width
+        tail = (F.aggregate(F.slice("counts", k + 2, nbins - k - 1),
+                            F.lit(0).cast("long"), lambda a, x: a + x)
+                .cast("double") if k + 1 < nbins else F.lit(0.0))
+        cnt = (F.element_at("counts", k + 1).cast("double")
+               * F.lit(float(part)) + tail + above)
+    return tier.withColumn(name, cnt / n)

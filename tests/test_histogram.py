@@ -10,6 +10,8 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from gorilla_tsc_spark.operators.histogram import (
+    hist_fraction_above,
+    merge_hist_series,
     cascade_hist_tier,
     hist_estimates,
     histogram_tier,
@@ -163,3 +165,47 @@ def test_randomized_merge_law(spark):
         df.where(split), HOUR_MS, LO, W, NBINS))
         == _collect(histogram_tier(df, HOUR_MS, LO, W, NBINS)))
     df.unpersist()
+
+
+def test_merge_series_and_fraction_above(spark):
+    pts = _pts(spark).cache()
+    per_series = histogram_tier(pts, DAY_MS, LO, W, NBINS)
+    # fleet-wide merge == building with no series key at all
+    merged = merge_hist_series(per_series, NBINS)
+    direct = histogram_tier(pts.withColumn("conv_id", F.lit("all")),
+                            DAY_MS, LO, W, NBINS).drop("conv_id")
+    a = {r["bucket"]: (r["n"], r["below"], r["above"], tuple(r["counts"]))
+         for r in merged.collect()}
+    b = {r["bucket"]: (r["n"], r["below"], r["above"], tuple(r["counts"]))
+         for r in direct.collect()}
+    assert a == b
+
+    rows = [tuple(r) for r in pts.collect()]
+    vals = {}
+    for conv, ts, v in rows:
+        if v is not None:
+            vals.setdefault((conv, ts // DAY_MS * DAY_MS),
+                            []).append(float(v))
+    # bin-edge threshold: exact; mid-bin: within the straddled bin's
+    # share of mass; out-of-band thresholds use the documented clamps
+    for t in (LO, LO + 3 * W, HI, LO + 2.5 * W, LO - 10, HI + 10):
+        served = {(r["conv_id"], r["bucket"]): r["frac_above"]
+                  for r in hist_fraction_above(per_series, t,
+                                               LO, W, NBINS).collect()}
+        for k, vs in vals.items():
+            exact = sum(1 for v in vs if v >= t) / len(vs)
+            if t <= LO:
+                want = sum(1 for v in vs if v >= LO) / len(vs)
+                assert abs(served[k] - want) < 1e-9, (k, t)
+            elif t >= HI:
+                want = sum(1 for v in vs if v >= HI) / len(vs)
+                assert abs(served[k] - want) < 1e-9, (k, t)
+            elif (t - LO) % W == 0:
+                assert abs(served[k] - exact) < 1e-9, (k, t)
+            else:
+                bin_lo = LO + ((t - LO) // W) * W
+                straddle = sum(1 for v in vs
+                               if bin_lo <= v < bin_lo + W) / len(vs)
+                assert served[k] <= exact + straddle + 1e-9, (k, t)
+                assert served[k] >= exact - straddle - 1e-9, (k, t)
+    pts.unpersist()
