@@ -300,18 +300,11 @@ def main() -> None:
 
     run("heartbeat_tier_1h_1d", heartbeat_tier_bench)
 
-    from pyspark.sql import Window
-
     from gorilla_tsc_spark.operators.rate import (cascade_rate_tier,
                                                   rate_estimates, rate_tier)
 
     def rate_tier_bench():
-        wcum = (Window.partitionBy("conv_id").orderBy("ts_ms", "v")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        ctr = Q._len_points(spark, sf_dir).where(F.col("v").isNotNull()) \
-            .select("conv_id", "ts_ms",
-                    (F.sum("v").over(wcum).cast("long") % 50_000)
-                    .cast("double").alias("v"))
+        ctr = Q.synth_counter(Q._len_points(spark, sf_dir))
         tier = rate_tier(ctr, HOUR_MS)
         stats["rate_1d_buckets"] = rate_estimates(
             cascade_rate_tier(tier, HOUR_MS, DAY_MS)).count()

@@ -60,6 +60,19 @@ def _bin_expr(v, lo: float, width: float, nbins: int):
                                F.lit(nbins - 1)).cast("int")))
 
 
+def _hist_aggs(b, nbins: int):
+    """The family's aggregate expressions — shared by the batch build
+    and the streaming twin so their bit-equality holds by
+    construction, not by parallel maintenance."""
+    return [F.count(F.lit(1)).alias("n"),
+            F.sum((b == -1).cast("long")).alias("below"),
+            F.sum((b == nbins).cast("long")).alias("above"),
+            F.array(*[
+                F.sum(F.when(b == i, F.lit(1))
+                      .otherwise(F.lit(0)).cast("long"))
+                for i in range(nbins)]).alias("counts")]
+
+
 def histogram_tier(points: DataFrame, bucket_ms: int, lo: float,
                    width: float, nbins: int, value_col: str = "v",
                    keys=("conv_id",)) -> DataFrame:
@@ -70,13 +83,7 @@ def histogram_tier(points: DataFrame, bucket_ms: int, lo: float,
     return (points.where(v.isNotNull())
             .groupBy(*keys,
                      bucket_col(F.col("ts_ms"), bucket_ms).alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum((b == -1).cast("long")).alias("below"),
-                 F.sum((b == nbins).cast("long")).alias("above"),
-                 F.array(*[
-                     F.sum(F.when(b == i, F.lit(1))
-                           .otherwise(F.lit(0)).cast("long"))
-                     for i in range(nbins)]).alias("counts")))
+            .agg(*_hist_aggs(b, nbins)))
 
 
 def _summed_counts(list_col, nbins: int):

@@ -797,6 +797,21 @@ RATE_CAP = 50_000         # synthetic counter wrap modulus (forces resets)
 HIST_LO, HIST_W, HIST_NBINS = 24.0, 4.0, 16
 HIST_HI = HIST_LO + HIST_W * HIST_NBINS
 
+
+def synth_counter(pts: DataFrame) -> DataFrame:
+    """Deterministic counter channel from a gauge point set: cumulative
+    sum per series, wrapped mod RATE_CAP so genuine resets occur.  The
+    ONE definition shared by the driver gate, bench.py and the plan-
+    budget pin — in production the counter is a real wire channel; this
+    synthesis exists only because the test corpus has none."""
+    from pyspark.sql import Window
+    wcum = (Window.partitionBy("conv_id").orderBy("ts_ms", "v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (pts.where(F.col("v").isNotNull())
+            .select("conv_id", "ts_ms",
+                    (F.sum("v").over(wcum).cast("long") % RATE_CAP)
+                    .cast("double").alias("v")))
+
 # one wide, family-tagged schema for the round-4/5 tier families
 # (the ann_topk house pattern): columns a family doesn't serve are
 # typed NULLs on BOTH engines, so the one gate hash-pins corr, twa
@@ -868,10 +883,8 @@ def q_tier_families_1d(spark, sf_dir):
     twa wsum is a sum of int-valued-double × ms products (exact);
     derived floats round to 6dp on both engines with the `+ 0.0` −0.0
     normalization.  The rate branch synthesizes its counter channel
-    deterministically: cumulative turn length per conversation, wrapped
-    mod RATE_CAP so genuine resets occur in the corpus."""
-    from pyspark.sql import Window
-
+    deterministically via `synth_counter` (cumulative turn length per
+    conversation, wrapped mod RATE_CAP so genuine resets occur)."""
     from .operators.correlate import (cascade_corr_tier, corr_estimates,
                                       corr_tier, refresh_corr_tier)
     from .operators.histogram import (cascade_hist_tier, hist_estimates,
@@ -928,12 +941,7 @@ def q_tier_families_1d(spark, sf_dir):
         "window_ms", "live_interp_ms",
         F.round("uptime_interp", 6).alias("uptime_interp"),
         "downtime_interp_ms")
-    wcum = (Window.partitionBy("conv_id").orderBy("ts_ms", "v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ctr = (pts.where(F.col("v").isNotNull())
-           .select("conv_id", "ts_ms",
-                   (F.sum("v").over(wcum).cast("long") % RATE_CAP)
-                   .cast("double").alias("v")))
+    ctr = synth_counter(pts)
     ctr_on, ctr_late = ctr.where(~late_pred), ctr.where(late_pred)
     rate_fine = refresh_rate_tier(rate_tier(ctr_on, HOUR_MS), ctr_late,
                                   ctr_on, HOUR_MS)
@@ -1284,7 +1292,10 @@ def q_value_scan(spark, sf_dir):
     seq) groups whose max value crosses the threshold (so pruning
     used exactly the per-block envelope, nothing looser)."""
     lo = 120.0
-    blocks = encode_blocks(_transcripts(spark, sf_dir), LEN_CHANNEL)
+    # persist: the candidate count below and the lazy decode both
+    # consume the encode output — without it the full encode shuffle
+    # would run twice per gate evaluation
+    blocks = encode_blocks(_transcripts(spark, sf_dir), LEN_CHANNEL).persist()
     from .operators.retention import read_value_range
     cand = blocks.where(F.col("agg_max").isNull()
                         | (F.col("agg_max") >= F.lit(lo))).count()

@@ -71,7 +71,7 @@ def stream_hist_tier(points_stream: DataFrame, lo: float, width: float,
     rows, bit-equal to the batch `histogram_tier` at the same grain:
     every component (n, below, above, each bin count) is a sum, exact
     in any arrival order — pure JVM, append mode, no state operator."""
-    from ..operators.histogram import _bin_expr
+    from ..operators.histogram import _bin_expr, _hist_aggs
 
     v = F.col("v").cast("double")
     pts = (points_stream
@@ -81,13 +81,7 @@ def stream_hist_tier(points_stream: DataFrame, lo: float, width: float,
     b = _bin_expr(F.col("v"), lo, width, nbins)
     agg = (pts.withWatermark("ts", watermark)
            .groupBy("conv_id", F.window("ts", window).alias("w"))
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum((b == -1).cast("long")).alias("below"),
-                F.sum((b == nbins).cast("long")).alias("above"),
-                F.array(*[
-                    F.sum(F.when(b == i, F.lit(1))
-                          .otherwise(F.lit(0)).cast("long"))
-                    for i in range(nbins)]).alias("counts")))
+           .agg(*_hist_aggs(b, nbins)))
     return agg.select("conv_id",
                       F.unix_millis(F.col("w.start")).alias("bucket"),
                       "n", "below", "above", "counts")
@@ -110,18 +104,22 @@ TWA_STATE_SCHEMA = T.StructType([
 ])
 
 
-def _seal_twa_row(conv_id: str, bucket: int, ts_l: list, v_l: list) -> dict:
+def _sorted_ts_v(ts_l: list, v_l: list):
+    """(ts, v)-lexsorted arrays — the families' shared tie order."""
     a = np.lexsort((np.asarray(v_l, np.float64),
-                    np.asarray(ts_l, np.int64)))  # (ts, v) tie order
-    ts = np.asarray(ts_l, np.int64)[a]
-    v = np.asarray(v_l, np.float64)[a]
-    wsum = float((v[:-1] * np.diff(ts)).sum()) if len(ts) > 1 else 0.0
-    return {"conv_id": conv_id, "bucket": bucket, "n": int(len(ts)),
-            "first_ts": int(ts[0]), "first_v": float(v[0]),
-            "last_ts": int(ts[-1]), "last_v": float(v[-1]), "wsum": wsum}
+                    np.asarray(ts_l, np.int64)))
+    return np.asarray(ts_l, np.int64)[a], np.asarray(v_l, np.float64)[a]
 
 
-def make_twa_state_fn(bucket_ms: int):
+def _make_buffering_state_fn(seal_row, schema: T.StructType,
+                             bucket_ms: int):
+    """The order-dependent families' shared buffer-and-seal state
+    machine: accumulate one (series, bucket)'s (ts, v) points across
+    microbatches, seal the exact batch-operator row via `seal_row`
+    when the event-time watermark passes the bucket end.  One place to
+    fix timeout/extend semantics for every family that needs ordering."""
+    cols = [f.name for f in schema.fields]
+
     def fn(key, pdf_iter: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         conv_id, bucket = key[0], int(key[1])
@@ -129,9 +127,8 @@ def make_twa_state_fn(bucket_ms: int):
             ts_l, v_l = state.get
             state.remove()
             if ts_l:
-                yield pd.DataFrame(
-                    [_seal_twa_row(conv_id, bucket, ts_l, v_l)],
-                    columns=[f.name for f in STREAM_TWA_SCHEMA.fields])
+                yield pd.DataFrame([seal_row(conv_id, bucket, ts_l, v_l)],
+                                   columns=cols)
             return
         ts_l, v_l = (state.get if state.exists else ([], []))
         ts_l, v_l = list(ts_l), list(v_l)
@@ -143,6 +140,19 @@ def make_twa_state_fn(bucket_ms: int):
             max(bucket + bucket_ms, state.getCurrentWatermarkMs() + 1))
 
     return fn
+
+
+def _seal_twa_row(conv_id: str, bucket: int, ts_l: list, v_l: list) -> dict:
+    ts, v = _sorted_ts_v(ts_l, v_l)
+    wsum = float((v[:-1] * np.diff(ts)).sum()) if len(ts) > 1 else 0.0
+    return {"conv_id": conv_id, "bucket": bucket, "n": int(len(ts)),
+            "first_ts": int(ts[0]), "first_v": float(v[0]),
+            "last_ts": int(ts[-1]), "last_v": float(v[-1]), "wsum": wsum}
+
+
+def make_twa_state_fn(bucket_ms: int):
+    return _make_buffering_state_fn(_seal_twa_row, STREAM_TWA_SCHEMA,
+                                    bucket_ms)
 
 
 def stream_twa_tier(transcripts_stream: DataFrame, bucket_ms: int,
@@ -187,10 +197,7 @@ STREAM_RATE_SCHEMA = T.StructType([
 def _seal_rate_row(conv_id: str, bucket: int, ts_l: list, v_l: list) -> dict:
     """Exact batch `rate_tier` row for one sealed (series, bucket):
     (ts, v)-sorted reset-corrected pair walk, vectorized."""
-    a = np.lexsort((np.asarray(v_l, np.float64),
-                    np.asarray(ts_l, np.int64)))  # (ts, v) tie order
-    ts = np.asarray(ts_l, np.int64)[a]
-    v = np.asarray(v_l, np.float64)[a]
+    ts, v = _sorted_ts_v(ts_l, v_l)
     if len(v) > 1:
         d = np.diff(v)
         drops = d < 0
@@ -205,27 +212,8 @@ def _seal_rate_row(conv_id: str, bucket: int, ts_l: list, v_l: list) -> dict:
 
 
 def make_rate_state_fn(bucket_ms: int):
-    def fn(key, pdf_iter: Iterator[pd.DataFrame],
-           state: GroupState) -> Iterator[pd.DataFrame]:
-        conv_id, bucket = key[0], int(key[1])
-        if state.hasTimedOut:
-            ts_l, v_l = state.get
-            state.remove()
-            if ts_l:
-                yield pd.DataFrame(
-                    [_seal_rate_row(conv_id, bucket, ts_l, v_l)],
-                    columns=[f.name for f in STREAM_RATE_SCHEMA.fields])
-            return
-        ts_l, v_l = (state.get if state.exists else ([], []))
-        ts_l, v_l = list(ts_l), list(v_l)
-        for pdf in pdf_iter:
-            ts_l.extend(pdf["ts_ms"].astype("int64").tolist())
-            v_l.extend(pdf["v"].astype("float64").tolist())
-        state.update((ts_l, v_l))
-        state.setTimeoutTimestamp(
-            max(bucket + bucket_ms, state.getCurrentWatermarkMs() + 1))
-
-    return fn
+    return _make_buffering_state_fn(_seal_rate_row, STREAM_RATE_SCHEMA,
+                                    bucket_ms)
 
 
 def stream_rate_tier(points_stream: DataFrame, bucket_ms: int,

@@ -32,26 +32,31 @@ for try in $(seq 1 "$MAX_TRIES"); do
   SPARK_GRAFT_BENCH_REPS="$REPS" python bench.py > /tmp/quiet_bench_try.json 2>/tmp/quiet_bench_try.err
   rc=$?
   if [ $rc -ne 0 ]; then echo "try $try: bench failed rc=$rc" >&2; continue; fi
+  # read BOTH numbers from the detail record: the stdout core line
+  # drops its 'queries' map under the 1.9 KB byte budget as bench keys
+  # grow, so it is not a stable source for the accept test
   read -r enc spread <<EOF
 $(python3 - <<'PY'
 import json
-d = json.load(open('/tmp/quiet_bench_try.json'))
 det = json.load(open('BENCH/DETAIL_r5.json'))
-print(d['queries']['encode_rollup'], det['noise_spread'].get('encode_rollup', 99))
+print(det['queries']['encode_rollup'],
+      det['noise_spread'].get('encode_rollup', 99))
 PY
 )
 EOF
   echo "try $try: encode_rollup=$enc spread=$spread" >&2
+  ok=$(python3 -c "print(1 if float('$enc') <= 2.5 and float('$spread') < 1.0 else 0)")
+  if [ "$ok" = "1" ]; then
+    # accept THIS try, so $OUT and the on-disk detail record agree
+    cp /tmp/quiet_bench_try.json "$OUT"
+    echo "protocol bar met on try $try" >&2
+    exit 0
+  fi
   better=$(python3 -c "print(1 if float('$enc') < float('$best_encode') else 0)")
   if [ "$better" = "1" ]; then
     best_encode="$enc"
     cp /tmp/quiet_bench_try.json "$OUT"
     cp BENCH/DETAIL_r5.json /tmp/quiet_bench_detail_best.json
-  fi
-  ok=$(python3 -c "print(1 if float('$enc') <= 2.5 and float('$spread') < 1.0 else 0)")
-  if [ "$ok" = "1" ]; then
-    echo "protocol bar met on try $try" >&2
-    exit 0
   fi
 done
 echo "bar not met in $MAX_TRIES tries; best encode_rollup=$best_encode kept in $OUT" >&2
