@@ -1,0 +1,160 @@
+"""State-duration tier (operators/statetier.py): pure-Python ground
+truth per bucket, cascade exactness vs a direct coarse build (the seam
+bridge attributed to the earlier bucket's last state), late refresh ≡
+rebuild (a late sample splits a LOCF segment and can move held time
+between states), the Σ durs = span invariant, tie determinism, and the
+interpolated (LOCF edge-extension) serve."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gorilla_tsc_spark.operators.rollup import DAY_MS, HOUR_MS
+from gorilla_tsc_spark.operators.statetier import (
+    cascade_state_tier,
+    refresh_state_tier,
+    state_estimates,
+    state_interpolated_estimates,
+    state_tier,
+)
+
+STATES = ("assistant", "tool", "user")
+K = len(STATES)
+
+
+def _pts(spark):
+    from gorilla_tsc_spark.queries import _transcripts
+    t = _transcripts(spark, "/root/testdata/sf0.001")
+    s = (F.when(F.col("role") == "assistant", 0)
+          .when(F.col("role") == "tool", 1).otherwise(2))
+    return t.select("conv_id", F.unix_millis("ts").alias("ts_ms"),
+                    s.cast("int").alias("s"))
+
+
+def _truth(rows, bucket_ms):
+    by_bucket = {}
+    for conv, ts, s in rows:
+        by_bucket.setdefault((conv, ts // bucket_ms * bucket_ms),
+                             []).append((ts, s))
+    out = {}
+    for k, pl in by_bucket.items():
+        pl.sort()                       # (ts, s) tie order
+        durs = [0] * K
+        for (t0, s0), (t1, _) in zip(pl, pl[1:]):
+            durs[s0] += t1 - t0
+        out[k] = (len(pl), pl[0][0], pl[0][1], pl[-1][0], pl[-1][1],
+                  tuple(durs))
+    return out
+
+
+def _collect(tier):
+    return {(r["conv_id"], r["bucket"]):
+            (r["n"], r["first_ts"], r["first_s"], r["last_ts"],
+             r["last_s"], tuple(r["durs"]))
+            for r in tier.collect()}
+
+
+def test_state_tier_matches_reference(spark):
+    pts = _pts(spark).cache()
+    rows = [tuple(r) for r in pts.collect()]
+    truth = _truth(rows, HOUR_MS)
+    got = _collect(state_tier(pts, HOUR_MS, K))
+    assert got == truth
+    # the corpus must actually hold time in more than one state
+    held = [sum(v[5][i] for v in truth.values()) for i in range(K)]
+    assert sum(1 for h in held if h > 0) >= 2
+    pts.unpersist()
+
+
+def test_cascade_exactness_and_invariant(spark):
+    pts = _pts(spark).cache()
+    fine = state_tier(pts, HOUR_MS, K)
+    merged = _collect(cascade_state_tier(fine, HOUR_MS, DAY_MS, K))
+    direct = _collect(state_tier(pts, DAY_MS, K))
+    assert merged == direct
+    # Σ durs = observed span, at both grains (seams bridged exactly)
+    for n, first_ts, _, last_ts, _, durs in merged.values():
+        assert sum(durs) == last_ts - first_ts
+    pts.unpersist()
+
+
+def test_refresh_equals_rebuild(spark):
+    pts = _pts(spark).cache()
+    tagged = pts.withColumn(
+        "late", (F.xxhash64("conv_id", "ts_ms") % 5 == 0))
+    on_time = tagged.where(~F.col("late")).drop("late").cache()
+    late = tagged.where("late").drop("late").cache()
+    assert late.count() > 0 and on_time.count() > 0
+    tier = state_tier(on_time, HOUR_MS, K)
+    refreshed = _collect(refresh_state_tier(tier, late, on_time,
+                                            HOUR_MS, K))
+    rebuilt = _collect(state_tier(pts, HOUR_MS, K))
+    assert refreshed == rebuilt
+    for df in (pts, on_time, late):
+        df.unpersist()
+
+
+def test_edges_ties_and_serve(spark):
+    m = 60_000
+    rows = [
+        # c1: assistant holds 0..2m, user 2m..5m, tool 5m.. (tail
+        # uncounted in-bucket), plus a tie at 2m: (2m, user=2) and
+        # (2m, assistant=0) → order puts assistant first, zero-length
+        ("c1", 0, 0), ("c1", 2 * m, 2), ("c1", 2 * m, 0),
+        ("c1", 5 * m, 1),
+        ("c2", 7 * m, 2),               # single point
+    ]
+    pts = spark.createDataFrame(rows, "conv_id string, ts_ms long, s int")
+    est = {r["conv_id"]: r for r in
+           state_estimates(state_tier(pts, DAY_MS, K), STATES).collect()}
+    c1 = est["c1"]
+    # sorted: (0,a) (2m,a) (2m,u) (5m,t): a holds 0..2m and 2m..2m,
+    # u holds 2m..5m; t is last (no in-bucket successor)
+    assert c1["n"] == 4
+    assert (c1["ms_assistant"], c1["ms_tool"], c1["ms_user"]) == \
+        (2 * m, 0, 3 * m)
+    assert c1["first_s"] == 0 and c1["last_s"] == 1
+    assert c1["duration_ms"] == 5 * m and c1["dominant"] == "user"
+    c2 = est["c2"]
+    assert c2["n"] == 1 and c2["duration_ms"] == 0
+    assert (c2["ms_assistant"], c2["ms_tool"], c2["ms_user"]) == (0, 0, 0)
+    # all-zero durs: ties break to the FIRST state in the domain
+    assert c2["dominant"] == "assistant"
+
+
+def test_interpolated_estimates(spark):
+    m, H = 60_000, HOUR_MS
+    rows = [
+        # c1 bucket 0: user from 50m (last_s=user); bucket H: assistant
+        # at 10m past, tool at 30m past, then a later row exists
+        ("c1", 50 * m, 2), ("c1", H + 10 * m, 0), ("c1", H + 30 * m, 1),
+        ("c1", 2 * H + 5 * m, 0),
+        # c2: isolated bucket → serves exactly the plain estimates
+        ("c2", 3 * H + 20 * m, 1), ("c2", 3 * H + 40 * m, 2),
+    ]
+    pts = spark.createDataFrame(rows, "conv_id string, ts_ms long, s int")
+    tier = state_tier(pts, H, K)
+    est = {(r["conv_id"], r["bucket"]): r for r in
+           state_interpolated_estimates(tier, H, STATES).collect()}
+
+    # c1 bucket 0: no prev → lo = first_ts; has next → hi = bucket end:
+    # tail 10m attributed to user (last_s)
+    b0 = est[("c1", 0)]
+    assert b0["window_ms"] == 10 * m
+    assert (b0["ms_interp_assistant"], b0["ms_interp_tool"],
+            b0["ms_interp_user"]) == (0, 0, 10 * m)
+    assert b0["dominant_interp"] == "user"
+
+    # c1 bucket H: prev exists → head 10m to prev last_s (user);
+    # in-bucket: assistant 20m; next exists → tail 30m to tool
+    b1 = est[("c1", H)]
+    assert b1["window_ms"] == H
+    assert (b1["ms_interp_assistant"], b1["ms_interp_tool"],
+            b1["ms_interp_user"]) == (20 * m, 30 * m, 10 * m)
+    assert b1["dominant_interp"] == "tool"
+
+    # c2: no neighbors → observed span only (tool holds 20m)
+    c2 = est[("c2", 3 * H)]
+    assert c2["window_ms"] == 20 * m
+    assert (c2["ms_interp_assistant"], c2["ms_interp_tool"],
+            c2["ms_interp_user"]) == (0, 20 * m, 0)
+    assert c2["dominant_interp"] == "tool"

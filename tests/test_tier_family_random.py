@@ -1,5 +1,6 @@
 """Randomized adversarial-shape gate for the round-4/5 tier families
-(correlate / timeweight / heartbeat / rate / histogram): per seed, a
+(correlate / timeweight / heartbeat / rate / histogram / state): per
+seed, a
 synthetic corpus with
 timestamp TIES, multi-day silences, bursts, and singleton series —
 shapes the transcript-derived corpus doesn't stress — must satisfy the
@@ -29,6 +30,9 @@ from gorilla_tsc_spark.operators.rate import (cascade_rate_tier,
                                               rate_tier,
                                               refresh_rate_tier)
 from gorilla_tsc_spark.operators.rollup import DAY_MS, HOUR_MS
+from gorilla_tsc_spark.operators.statetier import (cascade_state_tier,
+                                                   refresh_state_tier,
+                                                   state_tier)
 from gorilla_tsc_spark.operators.timeweight import (cascade_twa_tier,
                                                     refresh_twa_tier,
                                                     twa_tier)
@@ -140,6 +144,29 @@ def test_family_laws_on_adversarial_corpora(spark):
                 late.withColumnRenamed("x", "v"),
                 HOUR_MS, 100.0, 50.0, 8), gcols),
             _key(fine, gcols), f"hist refresh seed={seed}")
+
+        # --- state durations: seam bridge attributed to the earlier
+        # bucket's last state; refresh rebuilds (a late sample can move
+        # held time BETWEEN states); Σ durs = span must survive merges
+        scols = ("n", "first_ts", "first_s", "last_ts", "last_s", "durs")
+        ps = pts.select("conv_id", "ts_ms",
+                        (F.col("x").cast("long") % 3).cast("int").alias("s"))
+        fine = state_tier(ps, HOUR_MS, 3)
+        merged = _key(cascade_state_tier(fine, HOUR_MS, DAY_MS, 3), scols)
+        _assert_close(merged, _key(state_tier(ps, DAY_MS, 3), scols),
+                      f"state cascade seed={seed}")
+        for (n, first_ts, _, last_ts, _, durs) in merged.values():
+            assert sum(durs) == last_ts - first_ts, f"state inv seed={seed}"
+        ps_on = on_time.select(
+            "conv_id", "ts_ms",
+            (F.col("x").cast("long") % 3).cast("int").alias("s"))
+        ps_late = late.select(
+            "conv_id", "ts_ms",
+            (F.col("x").cast("long") % 3).cast("int").alias("s"))
+        _assert_close(
+            _key(refresh_state_tier(state_tier(ps_on, HOUR_MS, 3),
+                                    ps_late, ps_on, HOUR_MS, 3), scols),
+            _key(fine, scols), f"state refresh seed={seed}")
 
         # --- heartbeat: seam gaps, interruption un-counting on refresh
         hcols = ("n", "first_ts", "last_ts", "live_ms", "max_gap_ms",
