@@ -796,6 +796,9 @@ RATE_CAP = 50_000         # synthetic counter wrap modulus (forces resets)
 # so the fixture corpus populates BOTH overflow counters (below/above)
 HIST_LO, HIST_W, HIST_NBINS = 24.0, 4.0, 16
 HIST_HI = HIST_LO + HIST_W * HIST_NBINS
+# state-duration family domain: the transcripts role channel, indexed in
+# declaration order (the family's tie rule breaks on this index)
+STATE_NAMES = ("user", "assistant", "tool")
 
 
 def synth_counter(pts: DataFrame) -> DataFrame:
@@ -845,6 +848,14 @@ _TF_COLS = (
     # fixed-bin histogram (operators/histogram.py); n shared
     ("below", "long"), ("above", "long"),
     ("p50", "double"), ("p90", "double"), ("p99", "double"),
+    # state-duration (operators/statetier.py); first_ts/last_ts,
+    # duration_ms and window_ms shared with the groups above —
+    # everything here is integer ms or a label (no float discipline)
+    ("first_s", "long"), ("last_s", "long"),
+    ("ms_user", "long"), ("ms_assistant", "long"), ("ms_tool", "long"),
+    ("dominant", "string"),
+    ("ms_interp_user", "long"), ("ms_interp_assistant", "long"),
+    ("ms_interp_tool", "long"), ("dominant_interp", "string"),
 )
 
 
@@ -861,7 +872,7 @@ def _tf_pad(df: DataFrame, family: str) -> DataFrame:
 
 
 def q_tier_families_1d(spark, sf_dir):
-    """All five tier families under ONE driver gate, each built at 1h
+    """All six tier families under ONE driver gate, each built at 1h
     THROUGH ITS LATE-DATA REFRESH PATH and CASCADED to 1d while the
     oracle builds 1d DIRECT from all points — so the gate pins each
     family's refresh algebra (corr / hist: delta-tier sum-merge; twa /
@@ -884,7 +895,12 @@ def q_tier_families_1d(spark, sf_dir):
     derived floats round to 6dp on both engines with the `+ 0.0` −0.0
     normalization.  The rate branch synthesizes its counter channel
     deterministically via `synth_counter` (cumulative turn length per
-    conversation, wrapped mod RATE_CAP so genuine resets occur)."""
+    conversation, wrapped mod RATE_CAP so genuine resets occur).  The
+    state branch summarizes the role channel (user/assistant/tool →
+    index) under LOCF time-in-state semantics — its whole vector
+    (durations, seam bridges, interpolated edge extensions, dominant
+    label) is integer-ms arithmetic plus order-deterministic tie rules,
+    so it hash-matches with no rounding at all."""
     from .operators.correlate import (cascade_corr_tier, corr_estimates,
                                       corr_tier, refresh_corr_tier)
     from .operators.histogram import (cascade_hist_tier, hist_estimates,
@@ -897,6 +913,10 @@ def q_tier_families_1d(spark, sf_dir):
     from .operators.rate import (cascade_rate_tier, rate_estimates,
                                  rate_interpolated_estimates, rate_tier,
                                  refresh_rate_tier)
+    from .operators.statetier import (cascade_state_tier,
+                                      refresh_state_tier, state_estimates,
+                                      state_interpolated_estimates,
+                                      state_tier)
     from .operators.timeweight import (cascade_twa_tier, refresh_twa_tier,
                                        twa_estimates,
                                        twa_interpolated_estimates, twa_tier)
@@ -961,11 +981,30 @@ def q_tier_families_1d(spark, sf_dir):
         (F.round("p50", 6) + z).alias("p50"),
         (F.round("p90", 6) + z).alias("p90"),
         (F.round("p99", 6) + z).alias("p99"))
+    sidx = (F.when(F.col("role") == "user", 0)
+            .when(F.col("role") == "assistant", 1)
+            .otherwise(2))
+    spts = t.select("conv_id", F.unix_millis("ts").alias("ts_ms"),
+                    sidx.cast("int").alias("s"))
+    s_on, s_late = spts.where(~late_pred), spts.where(late_pred)
+    state_fine = refresh_state_tier(
+        state_tier(s_on, HOUR_MS, len(STATE_NAMES)), s_late, s_on,
+        HOUR_MS, len(STATE_NAMES))
+    state1d = cascade_state_tier(state_fine, HOUR_MS, DAY_MS,
+                                 len(STATE_NAMES))
+    st = state_estimates(
+        state_interpolated_estimates(state1d, DAY_MS, STATE_NAMES),
+        STATE_NAMES).select(
+        "conv_id", "bucket", "n", "first_ts", "first_s", "last_ts",
+        "last_s", "duration_ms", "ms_user", "ms_assistant", "ms_tool",
+        "dominant", "window_ms", "ms_interp_user", "ms_interp_assistant",
+        "ms_interp_tool", "dominant_interp")
     return (_tf_pad(corr, "corr")
             .unionByName(_tf_pad(twa, "twa"))
             .unionByName(_tf_pad(hb, "heartbeat"))
             .unionByName(_tf_pad(rate, "rate"))
-            .unionByName(_tf_pad(hist, "hist")))
+            .unionByName(_tf_pad(hist, "hist"))
+            .unionByName(_tf_pad(st, "state")))
 
 
 def _tf_nulls(*names: str) -> str:
@@ -983,6 +1022,10 @@ _TF_HB_NAMES = ("live_ms", "max_gap_ms", "interruptions", "span_ms",
 _TF_RATE_NAMES = ("increase", "resets", "rate_per_s", "increase_interp",
                   "resets_interp")
 _TF_HIST_NAMES = ("below", "above", "p50", "p90", "p99")
+_TF_STATE_NAMES = ("first_s", "last_s", "ms_user", "ms_assistant",
+                   "ms_tool", "dominant", "ms_interp_user",
+                   "ms_interp_assistant", "ms_interp_tool",
+                   "dominant_interp")
 
 
 def _tier_families_sql() -> str:
@@ -1169,7 +1212,69 @@ hgf AS (SELECT t.conv_id, t.bucket, t.n, t.below, t.above,
                {pq(0.5, "x50", "p50")},
                {pq(0.9, "x90", "p90")},
                {pq(0.99, "x99", "p99")}
-        FROM hgt t JOIN hgq q USING (conv_id, bucket))
+        FROM hgt t JOIN hgq q USING (conv_id, bucket)),
+spt AS (SELECT conv_id, epoch_ms(ts) AS ts_ms,
+               CASE role WHEN 'user' THEN 0
+                         WHEN 'assistant' THEN 1 ELSE 2 END AS s
+        FROM transcripts),
+sso AS (SELECT conv_id, ts_ms, s, {day_b} AS bucket,
+               lead(ts_ms) OVER sw AS nts,
+               first_value(s) OVER spb AS fs, last_value(s) OVER spb AS ls
+        FROM spt
+        WINDOW sw AS (PARTITION BY conv_id ORDER BY ts_ms, s),
+               spb AS (PARTITION BY conv_id,
+                                    CAST(floor(ts_ms / {d}) AS BIGINT)
+                       ORDER BY ts_ms, s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)),
+ssg AS (SELECT *, CASE WHEN nts IS NOT NULL
+                       AND CAST(floor(nts / {d}) AS BIGINT) * {d} = bucket
+                       THEN nts - ts_ms ELSE 0 END AS hold
+        FROM sso),
+sst AS (SELECT conv_id, bucket, count(*) AS n,
+               min(ts_ms) AS first_ts, CAST(min(fs) AS BIGINT) AS first_s,
+               max(ts_ms) AS last_ts, CAST(min(ls) AS BIGINT) AS last_s,
+               CAST(sum(CASE WHEN s = 0 THEN hold ELSE 0 END)
+                    AS BIGINT) AS d0,
+               CAST(sum(CASE WHEN s = 1 THEN hold ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN s = 2 THEN hold ELSE 0 END)
+                    AS BIGINT) AS d2
+        FROM ssg GROUP BY 1, 2),
+sse AS (SELECT *, lag(last_s) OVER swb AS prev_ls,
+               lead(bucket) OVER swb IS NOT NULL AS has_next
+        FROM sst WINDOW swb AS (PARTITION BY conv_id ORDER BY bucket)),
+ssi AS (SELECT *,
+               CASE WHEN prev_ls IS NOT NULL THEN bucket
+                    ELSE first_ts END AS wlo,
+               CASE WHEN has_next THEN bucket + {d} ELSE last_ts END AS whi,
+               CASE WHEN prev_ls IS NOT NULL
+                    THEN first_ts - bucket ELSE 0 END AS head,
+               CASE WHEN has_next
+                    THEN bucket + {d} - last_ts ELSE 0 END AS tail
+        FROM sse),
+ssj AS (SELECT *,
+               d0 + CASE WHEN prev_ls = 0 THEN head ELSE 0 END
+                  + CASE WHEN last_s = 0 THEN tail ELSE 0 END AS e0,
+               d1 + CASE WHEN prev_ls = 1 THEN head ELSE 0 END
+                  + CASE WHEN last_s = 1 THEN tail ELSE 0 END AS e1,
+               d2 + CASE WHEN prev_ls = 2 THEN head ELSE 0 END
+                  + CASE WHEN last_s = 2 THEN tail ELSE 0 END AS e2
+        FROM ssi),
+ssf AS (SELECT conv_id, bucket, n, first_ts, first_s, last_ts, last_s,
+               CAST(last_ts - first_ts AS BIGINT) AS duration_ms,
+               d0 AS ms_user, d1 AS ms_assistant, d2 AS ms_tool,
+               CASE WHEN d0 >= d1 AND d0 >= d2 THEN 'user'
+                    WHEN d1 >= d2 THEN 'assistant'
+                    ELSE 'tool' END AS dominant,
+               CAST(whi - wlo AS BIGINT) AS window_ms,
+               CAST(e0 AS BIGINT) AS ms_interp_user,
+               CAST(e1 AS BIGINT) AS ms_interp_assistant,
+               CAST(e2 AS BIGINT) AS ms_interp_tool,
+               CASE WHEN e0 >= e1 AND e0 >= e2 THEN 'user'
+                    WHEN e1 >= e2 THEN 'assistant'
+                    ELSE 'tool' END AS dominant_interp
+        FROM ssj)
 SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        round((n * sxy - sx * sy) / (n * n), 6) + 0.0 AS cov,
        CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
@@ -1189,7 +1294,8 @@ SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        {_tf_nulls(*_TF_TWA_NAMES)},
        {_tf_nulls(*_TF_HB_NAMES)},
        {_tf_nulls(*_TF_RATE_NAMES)},
-       {_tf_nulls(*_TF_HIST_NAMES)}
+       {_tf_nulls(*_TF_HIST_NAMES)},
+       {_tf_nulls(*_TF_STATE_NAMES)}
 FROM ct
 UNION ALL
 SELECT 'twa', conv_id, bucket, n,
@@ -1198,7 +1304,8 @@ SELECT 'twa', conv_id, bucket, n,
        covered_ms, twa_interp,
        {_tf_nulls(*_TF_HB_NAMES)},
        {_tf_nulls(*_TF_RATE_NAMES)},
-       {_tf_nulls(*_TF_HIST_NAMES)}
+       {_tf_nulls(*_TF_HIST_NAMES)},
+       {_tf_nulls(*_TF_STATE_NAMES)}
 FROM tf
 UNION ALL
 SELECT 'heartbeat', conv_id, bucket, n,
@@ -1210,7 +1317,8 @@ SELECT 'heartbeat', conv_id, bucket, n,
        downtime_ms, window_ms, live_interp_ms, uptime_interp,
        downtime_interp_ms,
        {_tf_nulls(*_TF_RATE_NAMES)},
-       {_tf_nulls(*_TF_HIST_NAMES)}
+       {_tf_nulls(*_TF_HIST_NAMES)},
+       {_tf_nulls(*_TF_STATE_NAMES)}
 FROM hbf
 UNION ALL
 SELECT 'rate', conv_id, bucket, n,
@@ -1221,7 +1329,8 @@ SELECT 'rate', conv_id, bucket, n,
        {_tf_nulls("twa", "covered_ms", "twa_interp")},
        {_tf_nulls(*_TF_HB_NAMES)},
        increase, resets, rate_per_s, increase_interp, resets_interp,
-       {_tf_nulls(*_TF_HIST_NAMES)}
+       {_tf_nulls(*_TF_HIST_NAMES)},
+       {_tf_nulls(*_TF_STATE_NAMES)}
 FROM rf
 UNION ALL
 SELECT 'hist', conv_id, bucket, n,
@@ -1230,8 +1339,27 @@ SELECT 'hist', conv_id, bucket, n,
        {_tf_nulls(*_TF_TWA_NAMES)},
        {_tf_nulls(*_TF_HB_NAMES)},
        {_tf_nulls(*_TF_RATE_NAMES)},
-       below, above, p50, p90, p99
-FROM hgf""")
+       below, above, p50, p90, p99,
+       {_tf_nulls(*_TF_STATE_NAMES)}
+FROM hgf
+UNION ALL
+SELECT 'state', conv_id, bucket, n,
+       {_tf_nulls(*_TF_CORR_NAMES)},
+       first_ts, last_ts,
+       {_tf_nulls("first_v", "last_v", "wsum")},
+       duration_ms,
+       {_tf_nulls("twa", "covered_ms", "twa_interp")},
+       {_tf_nulls("live_ms", "max_gap_ms", "interruptions", "span_ms",
+                  "uptime_ratio", "downtime_ms")},
+       window_ms,
+       {_tf_nulls("live_interp_ms", "uptime_interp",
+                  "downtime_interp_ms")},
+       {_tf_nulls(*_TF_RATE_NAMES)},
+       {_tf_nulls(*_TF_HIST_NAMES)},
+       first_s, last_s, ms_user, ms_assistant, ms_tool, dominant,
+       ms_interp_user, ms_interp_assistant, ms_interp_tool,
+       dominant_interp
+FROM ssf""")
 
 
 def q_codec_roundtrip_variants(spark, sf_dir):

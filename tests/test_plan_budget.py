@@ -56,17 +56,20 @@ EXCHANGE_BUDGET = {
     "m4_downsample": 3,
     # derivation + 1h rollup + one series-keyed window
     "anomaly_zscore_1h": 3,
-    # five family branches unioned, and the GATE deliberately routes
+    # six family branches unioned, and the GATE deliberately routes
     # each through its late-data refresh path (deterministic on-time /
     # late split, build, refresh, cascade) so the refresh algebra is
     # driver-oracled — that harness shape adds ~3 broadcast semi/anti
     # exchanges + a rebuild per family for the invalidation-rebuild
     # families (measured 33 at sf0.001 with four).  The distributive
     # hist family costs only 2 more (build + one delta-merge; its
-    # cascade and quantile serve add none).  The PRODUCTION family
-    # plans (plain build + cascade) are pinned separately in
+    # cascade and quantile serve add none); the state-duration family
+    # is another invalidation-rebuild one (+8: window+groupBy for
+    # build, rebuild and cascade plus the refresh's broadcast
+    # semi/anti — measured 44 with six).  The PRODUCTION family plans
+    # (plain build + cascade) are pinned separately in
     # test_family_production_plans below.
-    "tier_families_1d": 36,
+    "tier_families_1d": 44,
     # derivation + encode (conv,day,seq) shuffle; the zone-map prune is
     # a scan-side filter, never an exchange
     "value_scan": 3,
@@ -183,7 +186,7 @@ def test_maintenance_operator_plans(spark):
 
 
 def test_family_production_plans(spark):
-    """PRODUCTION plan shape of the five tier families (plain build +
+    """PRODUCTION plan shape of the six tier families (plain build +
     cascade — what a cluster actually runs; the registry gate wraps
     them in the refresh harness): each family must plan at most 3
     exchanges (derivation + one series window/groupBy chain that
@@ -200,6 +203,8 @@ def test_family_production_plans(spark):
                                                        histogram_tier)
     from gorilla_tsc_spark.operators.rate import cascade_rate_tier, rate_tier
     from gorilla_tsc_spark.operators.rollup import DAY_MS, HOUR_MS
+    from gorilla_tsc_spark.operators.statetier import (cascade_state_tier,
+                                                       state_tier)
     from gorilla_tsc_spark.operators.timeweight import (cascade_twa_tier,
                                                         twa_tier)
     from gorilla_tsc_spark.queries import (_len_points, _transcripts,
@@ -229,6 +234,13 @@ def test_family_production_plans(spark):
                 cascade_hist_tier(histogram_tier(pts, HOUR_MS, 24.0,
                                                  4.0, 16),
                                   HOUR_MS, DAY_MS, 16), 24.0, 4.0, 16),
+            "state": cascade_state_tier(
+                state_tier(t.select(
+                    "conv_id", F.unix_millis("ts").alias("ts_ms"),
+                    F.when(F.col("role") == "user", 0)
+                     .when(F.col("role") == "assistant", 1)
+                     .otherwise(2).cast("int").alias("s")), HOUR_MS, 3),
+                HOUR_MS, DAY_MS, 3),
         }
         for name, df in cases.items():
             plan = df._jdf.queryExecution().executedPlan().toString()
