@@ -324,6 +324,23 @@ def main() -> None:
 
     run("hist_tier_1h_1d", hist_tier_bench)
 
+    from gorilla_tsc_spark.operators.statetier import (cascade_state_tier,
+                                                       state_estimates,
+                                                       state_tier)
+
+    def state_tier_bench():
+        spts = Q._transcripts(spark, sf_dir).select(
+            "conv_id", F.unix_millis("ts").alias("ts_ms"),
+            F.when(F.col("role") == "user", 0)
+             .when(F.col("role") == "assistant", 1)
+             .otherwise(2).cast("int").alias("s"))
+        tier = state_tier(spts, HOUR_MS, 3)
+        stats["state_1d_buckets"] = state_estimates(
+            cascade_state_tier(tier, HOUR_MS, DAY_MS, 3),
+            Q.STATE_NAMES).count()
+
+    run("state_tier_1h_1d", state_tier_bench)
+
     from gorilla_tsc_spark.operators.rollup import rollup_points
     from gorilla_tsc_spark.operators.smoothing import ewma_serve
 

@@ -37,6 +37,11 @@ _EXPRS = {
     "words": lambda: F.size(F.split(F.col("text"), r"\s+")).cast("long"),
     # pins per-turn text equality through the codec round trip
     "text_hash": lambda: F.xxhash64(F.col("text")),
+    # small-int state codes for the state-duration tier family (the
+    # declared domain order is the family's tie rule)
+    "role_idx": lambda: (F.when(F.col("role") == "user", 0)
+                         .when(F.col("role") == "assistant", 1)
+                         .otherwise(2).cast("long")),
 }
 
 

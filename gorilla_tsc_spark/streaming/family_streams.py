@@ -24,6 +24,13 @@ a counter deterministically from the test corpus.
 The fixed-bin histogram (operators/histogram.py) is the corr class —
 bin counts are order-insensitive sums — so `stream_hist_tier` is a
 watermarked windowed aggregation too, bit-equal to the batch build.
+
+State-duration (operators/statetier.py) is the time-weight class — the
+LOCF time-in-state walk is order-dependent within the bucket — so
+`stream_state_tier` reuses the buffer-and-seal shape, carrying the
+state index through the shared float buffer (small non-negative ints
+are exact in float64, and the (ts, v) lexsort reproduces the family's
+(ts_ms, s) tie rule).
 """
 from __future__ import annotations
 
@@ -214,6 +221,67 @@ def _seal_rate_row(conv_id: str, bucket: int, ts_l: list, v_l: list) -> dict:
 def make_rate_state_fn(bucket_ms: int):
     return _make_buffering_state_fn(_seal_rate_row, STREAM_RATE_SCHEMA,
                                     bucket_ms)
+
+
+STREAM_STATE_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("bucket", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("first_ts", T.LongType()),
+    T.StructField("first_s", T.IntegerType()),
+    T.StructField("last_ts", T.LongType()),
+    T.StructField("last_s", T.IntegerType()),
+    T.StructField("durs", T.ArrayType(T.LongType())),
+])
+
+
+def _make_seal_state_row(nstates: int):
+    """Exact batch `state_tier` row for one sealed (series, bucket):
+    (ts, s)-sorted LOCF walk — every consecutive pair's interval is
+    attributed to the earlier point's state (all pairs are in-bucket
+    here by construction; seams belong to the cascade)."""
+    def seal(conv_id: str, bucket: int, ts_l: list, v_l: list) -> dict:
+        ts, v = _sorted_ts_v(ts_l, v_l)
+        s = v.astype(np.int64)
+        durs = np.zeros(nstates, np.int64)
+        if len(ts) > 1:
+            np.add.at(durs, s[:-1], np.diff(ts))
+        return {"conv_id": conv_id, "bucket": bucket, "n": int(len(ts)),
+                "first_ts": int(ts[0]), "first_s": int(s[0]),
+                "last_ts": int(ts[-1]), "last_s": int(s[-1]),
+                "durs": durs.tolist()}
+    return seal
+
+
+def make_state_duration_state_fn(bucket_ms: int, nstates: int):
+    return _make_buffering_state_fn(_make_seal_state_row(nstates),
+                                    STREAM_STATE_SCHEMA, bucket_ms)
+
+
+def stream_state_tier(points_stream: DataFrame, bucket_ms: int,
+                      nstates: int, delay: str = "10 minutes") -> DataFrame:
+    """State-point stream (conv_id, ts, s) → watermark-sealed
+    state-duration tier rows, bit-equal to the batch `state_tier` at
+    the same grain (integer-ms duration vector per declared state)."""
+    s = F.col("s").cast("int")
+    pts = (points_stream
+           .where(s.isNotNull())
+           .withWatermark("ts", delay)
+           .select(
+               "conv_id",
+               (F.floor(F.unix_millis(F.col("ts").cast("timestamp"))
+                        / bucket_ms) * bucket_ms)
+               .cast("long").alias("bucket"),
+               F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+               s.cast("double").alias("v"),
+               "ts"))
+    return pts.groupBy("conv_id", "bucket").applyInPandasWithState(
+        make_state_duration_state_fn(bucket_ms, nstates),
+        outputStructType=STREAM_STATE_SCHEMA,
+        stateStructType=TWA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
 
 
 def stream_rate_tier(points_stream: DataFrame, bucket_ms: int,

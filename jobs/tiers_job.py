@@ -1,8 +1,9 @@
 """spark-submit entry point building the tier families from a
 block-store warehouse: cross-channel correlation, time-weighted
-average, heartbeat/uptime, (optionally) counter rate, and (optionally)
-a fixed-bin histogram — each at a fine grain plus one cascaded coarse
-grain, written as parquet tier tables under --out.
+average, heartbeat/uptime, (optionally) counter rate, (optionally)
+a fixed-bin histogram, and (optionally) state-duration — each at a
+fine grain plus one cascaded coarse grain, written as parquet tier
+tables under --out.
 
 Decode happens ONCE (all families share the exploded points),
 optionally narrowed to the channels actually used; every downstream
@@ -14,6 +15,7 @@ Usage (cluster):
         [--x-channel len --y-channel words] [--twa-channel len] \\
         [--rate-channel bytes_total] \\
         [--hist-band 24:4:16]  # lo:width:nbins over the twa channel \\
+        [--state-channel phase --nstates 4] \\
         [--hb-ms 300000] [--bucket-ms 3600000] [--coarse-ms 86400000]
 
 Usage (sandbox):
@@ -44,6 +46,13 @@ def main() -> None:
                     help="lo:width:nbins — value band for the fixed-bin "
                          "histogram tier over the twa channel; omitted "
                          "= skip the histogram family")
+    ap.add_argument("--state-channel", default=None,
+                    help="channel carrying small integer state codes "
+                         "in [0, nstates); omitted = skip the "
+                         "state-duration family")
+    ap.add_argument("--nstates", type=int, default=None,
+                    help="declared state-domain size for "
+                         "--state-channel")
     ap.add_argument("--hb-ms", type=int, default=5 * 60_000)
     ap.add_argument("--bucket-ms", type=int, default=3_600_000)
     ap.add_argument("--coarse-ms", type=int, default=86_400_000)
@@ -55,6 +64,11 @@ def main() -> None:
         ap.error("--x-channel and --y-channel must differ (the corr "
                  "tier pivots both out of one channel column; equal "
                  "names would yield an ambiguous duplicate column)")
+    if bool(args.state_channel) != bool(args.nstates):
+        ap.error("--state-channel and --nstates go together (the state "
+                 "domain is a declaration, not something to infer)")
+    if args.nstates is not None and args.nstates <= 0:
+        ap.error("--nstates must be positive")
     hist_band = None
     if args.hist_band:
         try:
@@ -83,6 +97,8 @@ def main() -> None:
     chans = {args.x_channel, args.y_channel, args.twa_channel}
     if args.rate_channel:
         chans.add(args.rate_channel)
+    if args.state_channel:
+        chans.add(args.state_channel)
     blocks = read_blocks(spark, args.warehouse).where(
         F.col("channel").isin(*chans))
     pts = (decode_blocks(blocks, args.predictor)
@@ -150,6 +166,20 @@ def main() -> None:
         write("hist_coarse", cascade_hist_tier(
             spark.read.parquet(os.path.join(args.out, "hist_fine")),
             args.bucket_ms, args.coarse_ms, nb))
+
+    # state-duration over a declared small state domain, when the store
+    # carries a state-code channel (LOCF time-in-state per bucket)
+    if args.state_channel:
+        from gorilla_tsc_spark.operators.statetier import (
+            cascade_state_tier, state_tier)
+        spts = (pts.where(F.col("channel") == args.state_channel)
+                .select("conv_id", "ts_ms",
+                        F.col("v").cast("int").alias("s")))
+        write("state_fine", state_tier(spts, args.bucket_ms,
+                                       args.nstates))
+        write("state_coarse", cascade_state_tier(
+            spark.read.parquet(os.path.join(args.out, "state_fine")),
+            args.bucket_ms, args.coarse_ms, args.nstates))
 
     pts.unpersist()
     print(json.dumps(counters))

@@ -206,10 +206,12 @@ def test_stream_corr_and_twa_match_batch(spark, transcripts_dir, tmp_path):
     from gorilla_tsc_spark.operators.correlate import corr_tier
     from gorilla_tsc_spark.operators.histogram import histogram_tier
     from gorilla_tsc_spark.operators.rollup import HOUR_MS
+    from gorilla_tsc_spark.operators.statetier import state_tier
     from gorilla_tsc_spark.operators.timeweight import twa_tier
     from gorilla_tsc_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
     from gorilla_tsc_spark.streaming import (stream_corr_tier,
                                              stream_hist_tier,
+                                             stream_state_tier,
                                              stream_twa_tier)
 
     batch_t = spark.read.parquet(transcripts_dir)
@@ -242,6 +244,17 @@ def test_stream_corr_and_twa_match_batch(spark, transcripts_dir, tmp_path):
              "conv_id", F.unix_millis("ts").alias("ts_ms"),
              F.length("text").cast("double").alias("v")),
              HOUR_MS, 32.0, 8.0, 8)),
+        ("state_stream",
+         stream_state_tier(stream.select(
+             "conv_id", "ts",
+             F.when(F.col("role") == "user", 0)
+              .when(F.col("role") == "assistant", 1)
+              .otherwise(2).alias("s")), HOUR_MS, 3),
+         state_tier(batch_t.select(
+             "conv_id", F.unix_millis("ts").alias("ts_ms"),
+             F.when(F.col("role") == "user", 0)
+              .when(F.col("role") == "assistant", 1)
+              .otherwise(2).cast("int").alias("s")), HOUR_MS, 3)),
     ):
         q = (out.writeStream.format("memory").queryName(name)
              .outputMode("append")

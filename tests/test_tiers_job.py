@@ -16,6 +16,7 @@ from gorilla_tsc_spark.operators.heartbeat import heartbeat_tier
 from gorilla_tsc_spark.operators.histogram import histogram_tier
 from gorilla_tsc_spark.operators.rate import rate_tier
 from gorilla_tsc_spark.operators.rollup import HOUR_MS
+from gorilla_tsc_spark.operators.statetier import state_tier
 from gorilla_tsc_spark.operators.timeweight import twa_tier
 from gorilla_tsc_spark.pipeline import read_blocks, run_pipeline
 
@@ -29,12 +30,17 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
     wh = str(tmp_path_factory.mktemp("wh"))
     out = str(tmp_path_factory.mktemp("tiers"))
     t = _transcripts(spark, "/root/testdata/sf0.001")
-    run_pipeline(spark, t, wh, points_per_block=256)
+    from gorilla_tsc_spark.functions.channels import (Channel,
+                                                      default_channels)
+    run_pipeline(spark, t, wh, points_per_block=256,
+                 channels=default_channels()
+                 + [Channel("role_idx", "long", agg=False)])
 
     import jobs.tiers_job as job
     monkeypatch.setattr(sys, "argv", [
         "tiers_job.py", "--warehouse", wh, "--out", out, "--cores", "8",
-        "--rate-channel", "len", "--hist-band", "24:4:16"])
+        "--rate-channel", "len", "--hist-band", "24:4:16",
+        "--state-channel", "role_idx", "--nstates", "3"])
     # the job ends with spark.stop(); it shares the pytest session via
     # getOrCreate, so neuter stop for the in-process invocation
     monkeypatch.setattr(SparkSession, "stop", lambda self: None)
@@ -43,7 +49,8 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
     assert counters["points_decoded"] > 0
 
     pts = (decode_blocks(read_blocks(spark, wh)
-                         .where(F.col("channel").isin("len", "words")))
+                         .where(F.col("channel").isin("len", "words",
+                                                      "role_idx")))
            .select("conv_id", "channel", "ts_ms",
                    block_value_column().alias("v")).cache())
     xy = (pts.groupBy("conv_id", "ts_ms").pivot("channel", ["len", "words"])
@@ -68,7 +75,13 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
                   .withColumn("counts", F.col("counts").cast("string")))
             == _rows(histogram_tier(lenpts, HOUR_MS, 24.0, 4.0, 16)
                      .withColumn("counts", F.col("counts").cast("string"))))
+    spts = (pts.where(F.col("channel") == "role_idx")
+            .select("conv_id", "ts_ms", F.col("v").cast("int").alias("s")))
+    assert (_rows(spark.read.parquet(f"{out}/state_fine")
+                  .withColumn("durs", F.col("durs").cast("string")))
+            == _rows(state_tier(spts, HOUR_MS, 3)
+                     .withColumn("durs", F.col("durs").cast("string"))))
     for name in ("corr_coarse", "twa_coarse", "hb_coarse", "rate_coarse",
-                 "hist_coarse"):
+                 "hist_coarse", "state_coarse"):
         assert counters[name] > 0
     pts.unpersist()
