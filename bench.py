@@ -341,6 +341,21 @@ def main() -> None:
 
     run("state_tier_1h_1d", state_tier_bench)
 
+    from gorilla_tsc_spark.operators.candle import (candle_estimates,
+                                                    candle_tier,
+                                                    cascade_candle_tier)
+
+    def candle_tier_bench():
+        cpts = Q._transcripts(spark, sf_dir).select(
+            "conv_id", F.unix_millis("ts").alias("ts_ms"),
+            F.length("text").cast("double").alias("v"),
+            F.size(F.split("text", r"\s+")).cast("double").alias("vol"))
+        tier = candle_tier(cpts, HOUR_MS, vol_col="vol")
+        stats["candle_1d_buckets"] = candle_estimates(
+            cascade_candle_tier(tier, HOUR_MS, DAY_MS)).count()
+
+    run("candle_tier_1h_1d", candle_tier_bench)
+
     from gorilla_tsc_spark.operators.rollup import rollup_points
     from gorilla_tsc_spark.operators.smoothing import ewma_serve
 

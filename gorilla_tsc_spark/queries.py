@@ -856,6 +856,13 @@ _TF_COLS = (
     ("dominant", "string"),
     ("ms_interp_user", "long"), ("ms_interp_assistant", "long"),
     ("ms_interp_tool", "long"), ("dominant_interp", "string"),
+    # OHLCV candlestick (operators/candle.py); n, first_ts/last_ts
+    # shared — v is the len channel, volume the token-count channel
+    ("open", "double"), ("close", "double"),
+    ("high", "double"), ("low", "double"), ("cvsum", "double"),
+    ("cvol", "double"), ("pvsum", "double"),
+    ("change", "double"), ("spread", "double"),
+    ("vavg", "double"), ("vwap", "double"),
 )
 
 
@@ -872,7 +879,7 @@ def _tf_pad(df: DataFrame, family: str) -> DataFrame:
 
 
 def q_tier_families_1d(spark, sf_dir):
-    """All six tier families under ONE driver gate, each built at 1h
+    """All seven tier families under ONE driver gate, each built at 1h
     THROUGH ITS LATE-DATA REFRESH PATH and CASCADED to 1d while the
     oracle builds 1d DIRECT from all points — so the gate pins each
     family's refresh algebra (corr / hist: delta-tier sum-merge; twa /
@@ -900,7 +907,10 @@ def q_tier_families_1d(spark, sf_dir):
     index) under LOCF time-in-state semantics — its whole vector
     (durations, seam bridges, interpolated edge extensions, dominant
     label) is integer-ms arithmetic plus order-deterministic tie rules,
-    so it hash-matches with no rounding at all."""
+    so it hash-matches with no rounding at all.  The candle branch is
+    the distributive OHLCV bar over (len, token-count as volume): its
+    refresh is a pure delta-merge like hist, and its open/close pin
+    the (ts, v) tie rule through merge algebra on both engines."""
     from .operators.correlate import (cascade_corr_tier, corr_estimates,
                                       corr_tier, refresh_corr_tier)
     from .operators.histogram import (cascade_hist_tier, hist_estimates,
@@ -913,6 +923,9 @@ def q_tier_families_1d(spark, sf_dir):
     from .operators.rate import (cascade_rate_tier, rate_estimates,
                                  rate_interpolated_estimates, rate_tier,
                                  refresh_rate_tier)
+    from .operators.candle import (candle_estimates, candle_tier,
+                                   cascade_candle_tier,
+                                   refresh_candle_tier)
     from .operators.statetier import (cascade_state_tier,
                                       refresh_state_tier, state_estimates,
                                       state_interpolated_estimates,
@@ -999,12 +1012,25 @@ def q_tier_families_1d(spark, sf_dir):
         "last_s", "duration_ms", "ms_user", "ms_assistant", "ms_tool",
         "dominant", "window_ms", "ms_interp_user", "ms_interp_assistant",
         "ms_interp_tool", "dominant_interp")
+    cxy = xy.select("conv_id", "ts_ms", F.col("x").alias("v"),
+                    F.col("y").alias("vol"))
+    cnd_fine = refresh_candle_tier(
+        candle_tier(cxy.where(~late_pred), HOUR_MS, vol_col="vol"),
+        cxy.where(late_pred), HOUR_MS, vol_col="vol")
+    cnd = candle_estimates(
+        cascade_candle_tier(cnd_fine, HOUR_MS, DAY_MS)).select(
+        "conv_id", "bucket", "n", "first_ts", "last_ts", "open",
+        "close", "high", "low", F.col("vsum").alias("cvsum"),
+        F.col("vol").alias("cvol"), "pvsum", "change", "spread",
+        (F.round("vavg", 6) + z).alias("vavg"),
+        (F.round("vwap", 6) + z).alias("vwap"))
     return (_tf_pad(corr, "corr")
             .unionByName(_tf_pad(twa, "twa"))
             .unionByName(_tf_pad(hb, "heartbeat"))
             .unionByName(_tf_pad(rate, "rate"))
             .unionByName(_tf_pad(hist, "hist"))
-            .unionByName(_tf_pad(st, "state")))
+            .unionByName(_tf_pad(st, "state"))
+            .unionByName(_tf_pad(cnd, "candle")))
 
 
 def _tf_nulls(*names: str) -> str:
@@ -1026,6 +1052,8 @@ _TF_STATE_NAMES = ("first_s", "last_s", "ms_user", "ms_assistant",
                    "ms_tool", "dominant", "ms_interp_user",
                    "ms_interp_assistant", "ms_interp_tool",
                    "dominant_interp")
+_TF_CANDLE_NAMES = ("open", "close", "high", "low", "cvsum", "cvol",
+                    "pvsum", "change", "spread", "vavg", "vwap")
 
 
 def _tier_families_sql() -> str:
@@ -1274,7 +1302,28 @@ ssf AS (SELECT conv_id, bucket, n, first_ts, first_s, last_ts, last_s,
                CASE WHEN e0 >= e1 AND e0 >= e2 THEN 'user'
                     WHEN e1 >= e2 THEN 'assistant'
                     ELSE 'tool' END AS dominant_interp
-        FROM ssj)
+        FROM ssj),
+cno AS (SELECT conv_id, ts_ms, x AS v, y AS vol, {day_b} AS bucket,
+               first_value(x) OVER cpb AS ov, last_value(x) OVER cpb AS cv
+        FROM cpts WHERE x IS NOT NULL
+        WINDOW cpb AS (PARTITION BY conv_id,
+                                    CAST(floor(ts_ms / {d}) AS BIGINT)
+                       ORDER BY ts_ms, x
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)),
+cnt2 AS (SELECT conv_id, bucket, count(*) AS n,
+                min(ts_ms) AS first_ts, max(ts_ms) AS last_ts,
+                min(ov) AS open, min(cv) AS close,
+                max(v) AS high, min(v) AS low, sum(v) AS cvsum,
+                sum(vol) AS cvol, sum(v * vol) AS pvsum
+         FROM cno GROUP BY 1, 2),
+cnf AS (SELECT conv_id, bucket, n, first_ts, last_ts, open, close,
+               high, low, cvsum, cvol, pvsum,
+               close - open AS change, high - low AS spread,
+               round(cvsum / n, 6) + 0.0 AS vavg,
+               CASE WHEN cvol <> 0
+                    THEN round(pvsum / cvol, 6) + 0.0 END AS vwap
+        FROM cnt2)
 SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        round((n * sxy - sx * sy) / (n * n), 6) + 0.0 AS cov,
        CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
@@ -1295,7 +1344,8 @@ SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        {_tf_nulls(*_TF_HB_NAMES)},
        {_tf_nulls(*_TF_RATE_NAMES)},
        {_tf_nulls(*_TF_HIST_NAMES)},
-       {_tf_nulls(*_TF_STATE_NAMES)}
+       {_tf_nulls(*_TF_STATE_NAMES)},
+       {_tf_nulls(*_TF_CANDLE_NAMES)}
 FROM ct
 UNION ALL
 SELECT 'twa', conv_id, bucket, n,
@@ -1305,7 +1355,8 @@ SELECT 'twa', conv_id, bucket, n,
        {_tf_nulls(*_TF_HB_NAMES)},
        {_tf_nulls(*_TF_RATE_NAMES)},
        {_tf_nulls(*_TF_HIST_NAMES)},
-       {_tf_nulls(*_TF_STATE_NAMES)}
+       {_tf_nulls(*_TF_STATE_NAMES)},
+       {_tf_nulls(*_TF_CANDLE_NAMES)}
 FROM tf
 UNION ALL
 SELECT 'heartbeat', conv_id, bucket, n,
@@ -1318,7 +1369,8 @@ SELECT 'heartbeat', conv_id, bucket, n,
        downtime_interp_ms,
        {_tf_nulls(*_TF_RATE_NAMES)},
        {_tf_nulls(*_TF_HIST_NAMES)},
-       {_tf_nulls(*_TF_STATE_NAMES)}
+       {_tf_nulls(*_TF_STATE_NAMES)},
+       {_tf_nulls(*_TF_CANDLE_NAMES)}
 FROM hbf
 UNION ALL
 SELECT 'rate', conv_id, bucket, n,
@@ -1330,7 +1382,8 @@ SELECT 'rate', conv_id, bucket, n,
        {_tf_nulls(*_TF_HB_NAMES)},
        increase, resets, rate_per_s, increase_interp, resets_interp,
        {_tf_nulls(*_TF_HIST_NAMES)},
-       {_tf_nulls(*_TF_STATE_NAMES)}
+       {_tf_nulls(*_TF_STATE_NAMES)},
+       {_tf_nulls(*_TF_CANDLE_NAMES)}
 FROM rf
 UNION ALL
 SELECT 'hist', conv_id, bucket, n,
@@ -1340,7 +1393,8 @@ SELECT 'hist', conv_id, bucket, n,
        {_tf_nulls(*_TF_HB_NAMES)},
        {_tf_nulls(*_TF_RATE_NAMES)},
        below, above, p50, p90, p99,
-       {_tf_nulls(*_TF_STATE_NAMES)}
+       {_tf_nulls(*_TF_STATE_NAMES)},
+       {_tf_nulls(*_TF_CANDLE_NAMES)}
 FROM hgf
 UNION ALL
 SELECT 'state', conv_id, bucket, n,
@@ -1358,8 +1412,21 @@ SELECT 'state', conv_id, bucket, n,
        {_tf_nulls(*_TF_HIST_NAMES)},
        first_s, last_s, ms_user, ms_assistant, ms_tool, dominant,
        ms_interp_user, ms_interp_assistant, ms_interp_tool,
-       dominant_interp
-FROM ssf""")
+       dominant_interp,
+       {_tf_nulls(*_TF_CANDLE_NAMES)}
+FROM ssf
+UNION ALL
+SELECT 'candle', conv_id, bucket, n,
+       {_tf_nulls(*_TF_CORR_NAMES)},
+       first_ts, last_ts,
+       {_tf_nulls(*_TF_TWA_NAMES)},
+       {_tf_nulls(*_TF_HB_NAMES)},
+       {_tf_nulls(*_TF_RATE_NAMES)},
+       {_tf_nulls(*_TF_HIST_NAMES)},
+       {_tf_nulls(*_TF_STATE_NAMES)},
+       open, close, high, low, cvsum, cvol, pvsum, change, spread,
+       vavg, vwap
+FROM cnf""")
 
 
 def q_codec_roundtrip_variants(spark, sf_dir):

@@ -31,6 +31,11 @@ LOCF time-in-state walk is order-dependent within the bucket — so
 state index through the shared float buffer (small non-negative ints
 are exact in float64, and the (ts, v) lexsort reproduces the family's
 (ts_ms, s) tie rule).
+
+The OHLCV candle (operators/candle.py) looks order-dependent (open and
+close) but is NOT: open/close are `min_by`/`max_by` over the (ts, v)
+struct — declarative aggregates — so `stream_candle_tier` is a
+watermarked windowed aggregation like corr/hist, bit-equal to batch.
 """
 from __future__ import annotations
 
@@ -221,6 +226,36 @@ def _seal_rate_row(conv_id: str, bucket: int, ts_l: list, v_l: list) -> dict:
 def make_rate_state_fn(bucket_ms: int):
     return _make_buffering_state_fn(_seal_rate_row, STREAM_RATE_SCHEMA,
                                     bucket_ms)
+
+
+def stream_candle_tier(points_stream: DataFrame,
+                       vol_col: str | None = None,
+                       window: str = "1 hour",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Point stream (conv_id, ts, v[, vol]) → watermark-sealed OHLCV
+    candle rows, bit-equal to the batch `candle_tier` at the same
+    grain: every component is a min/max/sum or a min_by/max_by over
+    the (event-time, value) struct — all order-insensitive."""
+    from ..operators.candle import _build_aggs
+
+    v = F.col("v").cast("double")
+    cols = ["conv_id", F.col("ts").cast("timestamp").alias("ts"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            v.alias("v")]
+    if vol_col is not None:
+        cols.append(F.col(vol_col).cast("double").alias("vol"))
+    pts = points_stream.where(v.isNotNull()).select(*cols)
+    order = F.struct("ts_ms", "v")
+    vol = F.col("vol") if vol_col is not None else None
+    agg = (pts.withWatermark("ts", watermark)
+           .groupBy("conv_id", F.window("ts", window).alias("w"))
+           .agg(*_build_aggs(F.col("v"), order, vol)))
+    out = ["conv_id", F.unix_millis(F.col("w.start")).alias("bucket"),
+           "n", "first_ts", "open", "last_ts", "close", "high", "low",
+           "vsum"]
+    if vol_col is not None:
+        out += ["vol", "pvsum"]
+    return agg.select(*out)
 
 
 STREAM_STATE_SCHEMA = T.StructType([

@@ -1,9 +1,9 @@
 """spark-submit entry point building the tier families from a
 block-store warehouse: cross-channel correlation, time-weighted
 average, heartbeat/uptime, (optionally) counter rate, (optionally)
-a fixed-bin histogram, and (optionally) state-duration — each at a
-fine grain plus one cascaded coarse grain, written as parquet tier
-tables under --out.
+a fixed-bin histogram, (optionally) state-duration, and (optionally)
+an OHLCV candle — each at a fine grain plus one cascaded coarse
+grain, written as parquet tier tables under --out.
 
 Decode happens ONCE (all families share the exploded points),
 optionally narrowed to the channels actually used; every downstream
@@ -16,6 +16,7 @@ Usage (cluster):
         [--rate-channel bytes_total] \\
         [--hist-band 24:4:16]  # lo:width:nbins over the twa channel \\
         [--state-channel phase --nstates 4] \\
+        [--candle-channel len [--candle-vol-channel words]] \\
         [--hb-ms 300000] [--bucket-ms 3600000] [--coarse-ms 86400000]
 
 Usage (sandbox):
@@ -53,6 +54,12 @@ def main() -> None:
     ap.add_argument("--nstates", type=int, default=None,
                     help="declared state-domain size for "
                          "--state-channel")
+    ap.add_argument("--candle-channel", default=None,
+                    help="price channel for the OHLCV candle tier; "
+                         "omitted = skip the candle family")
+    ap.add_argument("--candle-vol-channel", default=None,
+                    help="optional volume channel riding along the "
+                         "candle tier (adds vol/pvsum → exact VWAP)")
     ap.add_argument("--hb-ms", type=int, default=5 * 60_000)
     ap.add_argument("--bucket-ms", type=int, default=3_600_000)
     ap.add_argument("--coarse-ms", type=int, default=86_400_000)
@@ -64,6 +71,8 @@ def main() -> None:
         ap.error("--x-channel and --y-channel must differ (the corr "
                  "tier pivots both out of one channel column; equal "
                  "names would yield an ambiguous duplicate column)")
+    if args.candle_vol_channel and not args.candle_channel:
+        ap.error("--candle-vol-channel requires --candle-channel")
     if bool(args.state_channel) != bool(args.nstates):
         ap.error("--state-channel and --nstates go together (the state "
                  "domain is a declaration, not something to infer)")
@@ -99,6 +108,10 @@ def main() -> None:
         chans.add(args.rate_channel)
     if args.state_channel:
         chans.add(args.state_channel)
+    if args.candle_channel:
+        chans.add(args.candle_channel)
+    if args.candle_vol_channel:
+        chans.add(args.candle_vol_channel)
     blocks = read_blocks(spark, args.warehouse).where(
         F.col("channel").isin(*chans))
     pts = (decode_blocks(blocks, args.predictor)
@@ -180,6 +193,24 @@ def main() -> None:
         write("state_coarse", cascade_state_tier(
             spark.read.parquet(os.path.join(args.out, "state_fine")),
             args.bucket_ms, args.coarse_ms, args.nstates))
+
+    # OHLCV candle over a declared price (and optional volume) channel
+    if args.candle_channel:
+        from gorilla_tsc_spark.operators.candle import (candle_tier,
+                                                        cascade_candle_tier)
+        cpts = pts.where(F.col("channel") == args.candle_channel)
+        if args.candle_vol_channel:
+            volp = (pts.where(F.col("channel") == args.candle_vol_channel)
+                    .select("conv_id", "ts_ms", F.col("v").alias("vol")))
+            cpts = (cpts.select("conv_id", "ts_ms", "v")
+                    .join(volp, ["conv_id", "ts_ms"], "left"))
+            write("candle_fine", candle_tier(cpts, args.bucket_ms,
+                                             vol_col="vol"))
+        else:
+            write("candle_fine", candle_tier(cpts, args.bucket_ms))
+        write("candle_coarse", cascade_candle_tier(
+            spark.read.parquet(os.path.join(args.out, "candle_fine")),
+            args.bucket_ms, args.coarse_ms))
 
     pts.unpersist()
     print(json.dumps(counters))

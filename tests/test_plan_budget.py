@@ -66,10 +66,12 @@ EXCHANGE_BUDGET = {
     # cascade and quantile serve add none); the state-duration family
     # is another invalidation-rebuild one (+8: window+groupBy for
     # build, rebuild and cascade plus the refresh's broadcast
-    # semi/anti — measured 44 with six).  The PRODUCTION family plans
-    # (plain build + cascade) are pinned separately in
+    # semi/anti — measured 44 with six); the distributive OHLCV candle
+    # adds 3 (build + delta-merge + cascade groupBys, no window —
+    # measured 47 with seven).  The PRODUCTION family plans (plain
+    # build + cascade) are pinned separately in
     # test_family_production_plans below.
-    "tier_families_1d": 44,
+    "tier_families_1d": 47,
     # derivation + encode (conv,day,seq) shuffle; the zone-map prune is
     # a scan-side filter, never an exchange
     "value_scan": 3,
@@ -186,7 +188,7 @@ def test_maintenance_operator_plans(spark):
 
 
 def test_family_production_plans(spark):
-    """PRODUCTION plan shape of the six tier families (plain build +
+    """PRODUCTION plan shape of the seven tier families (plain build +
     cascade — what a cluster actually runs; the registry gate wraps
     them in the refresh harness): each family must plan at most 3
     exchanges (derivation + one series window/groupBy chain that
@@ -203,6 +205,8 @@ def test_family_production_plans(spark):
                                                        histogram_tier)
     from gorilla_tsc_spark.operators.rate import cascade_rate_tier, rate_tier
     from gorilla_tsc_spark.operators.rollup import DAY_MS, HOUR_MS
+    from gorilla_tsc_spark.operators.candle import (candle_tier,
+                                                    cascade_candle_tier)
     from gorilla_tsc_spark.operators.statetier import (cascade_state_tier,
                                                        state_tier)
     from gorilla_tsc_spark.operators.timeweight import (cascade_twa_tier,
@@ -241,6 +245,8 @@ def test_family_production_plans(spark):
                      .when(F.col("role") == "assistant", 1)
                      .otherwise(2).cast("int").alias("s")), HOUR_MS, 3),
                 HOUR_MS, DAY_MS, 3),
+            "candle": cascade_candle_tier(candle_tier(pts, HOUR_MS),
+                                          HOUR_MS, DAY_MS),
         }
         for name, df in cases.items():
             plan = df._jdf.queryExecution().executedPlan().toString()

@@ -209,7 +209,9 @@ def test_stream_corr_and_twa_match_batch(spark, transcripts_dir, tmp_path):
     from gorilla_tsc_spark.operators.statetier import state_tier
     from gorilla_tsc_spark.operators.timeweight import twa_tier
     from gorilla_tsc_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
-    from gorilla_tsc_spark.streaming import (stream_corr_tier,
+    from gorilla_tsc_spark.operators.candle import candle_tier
+    from gorilla_tsc_spark.streaming import (stream_candle_tier,
+                                             stream_corr_tier,
                                              stream_hist_tier,
                                              stream_state_tier,
                                              stream_twa_tier)
@@ -255,6 +257,18 @@ def test_stream_corr_and_twa_match_batch(spark, transcripts_dir, tmp_path):
              F.when(F.col("role") == "user", 0)
               .when(F.col("role") == "assistant", 1)
               .otherwise(2).cast("int").alias("s")), HOUR_MS, 3)),
+        ("candle_stream",
+         stream_candle_tier(stream.select(
+             "conv_id", "ts", F.length("text").cast("double").alias("v"),
+             F.size(F.split("text", r"\s+")).cast("double").alias("vol")),
+             vol_col="vol", window="1 hour"),
+         candle_tier(batch_t.select(
+             "conv_id", F.unix_millis("ts").alias("ts_ms"),
+             F.length("text").cast("double").alias("v"),
+             F.size(F.split("text", r"\s+")).cast("double").alias("vol")),
+             HOUR_MS, vol_col="vol")
+         .select("conv_id", "bucket", "n", "first_ts", "open", "last_ts",
+                 "close", "high", "low", "vsum", "vol", "pvsum")),
     ):
         q = (out.writeStream.format("memory").queryName(name)
              .outputMode("append")

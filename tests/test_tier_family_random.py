@@ -1,5 +1,6 @@
 """Randomized adversarial-shape gate for the round-4/5 tier families
-(correlate / timeweight / heartbeat / rate / histogram / state): per
+(correlate / timeweight / heartbeat / rate / histogram / state /
+candle): per
 seed, a
 synthetic corpus with
 timestamp TIES, multi-day silences, bursts, and singleton series —
@@ -17,6 +18,9 @@ import math
 import numpy as np
 from pyspark.sql import functions as F
 
+from gorilla_tsc_spark.operators.candle import (candle_tier,
+                                                cascade_candle_tier,
+                                                refresh_candle_tier)
 from gorilla_tsc_spark.operators.correlate import (cascade_corr_tier,
                                                    corr_tier,
                                                    refresh_corr_tier)
@@ -167,6 +171,27 @@ def test_family_laws_on_adversarial_corpora(spark):
             _key(refresh_state_tier(state_tier(ps_on, HOUR_MS, 3),
                                     ps_late, ps_on, HOUR_MS, 3), scols),
             _key(fine, scols), f"state refresh seed={seed}")
+
+        # --- candle: distributive OHLCV — no seams at all; refresh is
+        # a pure delta-merge; ts ties pin the (ts, v) open/close rule
+        kcols = ("n", "first_ts", "open", "last_ts", "close", "high",
+                 "low", "vsum", "vol", "pvsum")
+        pvv = pts.select("conv_id", "ts_ms", F.col("x").alias("v"),
+                         F.col("y").alias("vol"))
+        fine = candle_tier(pvv, HOUR_MS, vol_col="vol")
+        _assert_close(
+            _key(cascade_candle_tier(fine, HOUR_MS, DAY_MS), kcols),
+            _key(candle_tier(pvv, DAY_MS, vol_col="vol"), kcols),
+            f"candle cascade seed={seed}")
+        on_v = on_time.select("conv_id", "ts_ms", F.col("x").alias("v"),
+                              F.col("y").alias("vol"))
+        late_v = late.select("conv_id", "ts_ms", F.col("x").alias("v"),
+                             F.col("y").alias("vol"))
+        _assert_close(
+            _key(refresh_candle_tier(
+                candle_tier(on_v, HOUR_MS, vol_col="vol"),
+                late_v, HOUR_MS, vol_col="vol"), kcols),
+            _key(fine, kcols), f"candle refresh seed={seed}")
 
         # --- heartbeat: seam gaps, interruption un-counting on refresh
         hcols = ("n", "first_ts", "last_ts", "live_ms", "max_gap_ms",

@@ -33,7 +33,8 @@ def test_new_families_from_decoded_blocks(spark):
 
     # encode both channels, decode, pivot back to (ts, x, y) per turn
     blocks = encode_blocks(t, [Channel("len", "double"),
-                               Channel("words", "long")])
+                               Channel("words", "long"),
+                               Channel("role_idx", "long", agg=False)])
     dec = (decode_blocks(blocks)
            .groupBy("conv_id", "ts_ms")
            .pivot("channel", ["len", "words"])
@@ -55,5 +56,20 @@ def test_new_families_from_decoded_blocks(spark):
                                  HOUR_MS, HB))
             == _rows(heartbeat_tier(raw.select("conv_id", "ts_ms"),
                                     HOUR_MS, HB)))
+    # state-duration tier: the state-code channel survives the codec
+    # round trip and the tier built from decoded codes ≡ raw
+    from gorilla_tsc_spark.operators.statetier import state_tier
+    sidx = (F.when(F.col("role") == "user", 0)
+            .when(F.col("role") == "assistant", 1)
+            .otherwise(2).cast("int"))
+    sraw = t.select("conv_id", F.unix_millis("ts").alias("ts_ms"),
+                    sidx.alias("s"))
+    sdec = (decode_blocks(blocks.where(F.col("channel") == "role_idx"))
+            .select("conv_id", "ts_ms", F.col("v_long").cast("int")
+                    .alias("s")))
+    assert (_rows(state_tier(sdec, HOUR_MS, 3)
+                  .withColumn("durs", F.col("durs").cast("string")))
+            == _rows(state_tier(sraw, HOUR_MS, 3)
+                     .withColumn("durs", F.col("durs").cast("string"))))
     for df in (t, raw, dec):
         df.unpersist()

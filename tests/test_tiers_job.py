@@ -9,6 +9,7 @@ import sys
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from gorilla_tsc_spark.operators.candle import candle_tier
 from gorilla_tsc_spark.operators.correlate import corr_tier
 from gorilla_tsc_spark.operators.encode import (block_value_column,
                                                 decode_blocks)
@@ -40,7 +41,8 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
     monkeypatch.setattr(sys, "argv", [
         "tiers_job.py", "--warehouse", wh, "--out", out, "--cores", "8",
         "--rate-channel", "len", "--hist-band", "24:4:16",
-        "--state-channel", "role_idx", "--nstates", "3"])
+        "--state-channel", "role_idx", "--nstates", "3",
+        "--candle-channel", "len", "--candle-vol-channel", "words"])
     # the job ends with spark.stop(); it shares the pytest session via
     # getOrCreate, so neuter stop for the in-process invocation
     monkeypatch.setattr(SparkSession, "stop", lambda self: None)
@@ -81,7 +83,13 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
                   .withColumn("durs", F.col("durs").cast("string")))
             == _rows(state_tier(spts, HOUR_MS, 3)
                      .withColumn("durs", F.col("durs").cast("string"))))
+    cpts = (lenpts.select("conv_id", "ts_ms", "v")
+            .join(pts.where(F.col("channel") == "words")
+                  .select("conv_id", "ts_ms", F.col("v").alias("vol")),
+                  ["conv_id", "ts_ms"], "left"))
+    assert (_rows(spark.read.parquet(f"{out}/candle_fine"))
+            == _rows(candle_tier(cpts, HOUR_MS, vol_col="vol")))
     for name in ("corr_coarse", "twa_coarse", "hb_coarse", "rate_coarse",
-                 "hist_coarse", "state_coarse"):
+                 "hist_coarse", "state_coarse", "candle_coarse"):
         assert counters[name] > 0
     pts.unpersist()
