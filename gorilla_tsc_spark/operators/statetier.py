@@ -8,17 +8,21 @@ classic serve is time-in-state under LOCF semantics (TimescaleDB's
 holds from its sample until the next sample.
 
 The per-bucket summary is EXACTLY mergeable, so the family lives the
-same tier lifecycle as the other ten:
+same tier lifecycle as the other families:
 
-    (n, first_ts, first_s, last_ts, last_s, durs[k])
+    (n, first_ts, first_s, last_ts, last_s, durs[k], trans)
 
 where `durs[i]` = Σ (ts_{j+1} − ts_j) over consecutive in-bucket point
 pairs whose EARLIER point is in state i — the step-function integral of
-the indicator of state i, the state_agg analogue of `twa_tier.wsum`.
+the indicator of state i, the state_agg analogue of `twa_tier.wsum` —
+and `trans` counts the in-bucket pairs whose state CHANGED (the
+state_agg transition counter; zero-duration flips on tied timestamps
+count, deterministically, because the tie order is pinned).
 Merging order-adjacent summaries is an element-wise vector sum plus one
 LOCF seam bridge per boundary: the earlier summary's `last_s` holds
 across the seam, so `durs[last_s_left] += first_ts_right − last_ts_left`
-(`operators/timeweight.py`'s bridge, attributed to an array slot).  The
+(`operators/timeweight.py`'s bridge, attributed to an array slot), and
+the seam adds one transition iff `first_s_right != last_s_left`.  The
 invariant Σ durs = last_ts − first_ts survives every merge.
 
 Ties on ts_ms break by state index, so the step function (and hence
@@ -43,7 +47,8 @@ from pyspark.sql.window import Window
 
 from .rollup import bucket_col
 
-SUMMARY_COLS = ("n", "first_ts", "first_s", "last_ts", "last_s", "durs")
+SUMMARY_COLS = ("n", "first_ts", "first_s", "last_ts", "last_s", "durs",
+                "trans")
 
 
 def state_tier(points: DataFrame, bucket_ms: int, nstates: int,
@@ -57,11 +62,16 @@ def state_tier(points: DataFrame, bucket_ms: int, nstates: int,
     w = Window.partitionBy(*keys).orderBy("ts_ms", "s")
     bkt = bucket_col(F.col("ts_ms"), bucket_ms)
     next_ts = F.lead("ts_ms").over(w)
+    next_s = F.lead("s").over(w)
     in_bucket = bucket_col(next_ts, bucket_ms) == bkt
-    staged = pts.withColumn(
+    staged = (pts.withColumn(
         "hold",
         F.when(in_bucket, next_ts - F.col("ts_ms"))
          .otherwise(F.lit(0)).cast("long"))
+        .withColumn(
+        "flip",
+        F.when(in_bucket & (next_s != F.col("s")), F.lit(1))
+         .otherwise(F.lit(0)).cast("long")))
     order = F.struct("ts_ms", "s")
     return (staged.groupBy(*keys, bkt.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n"),
@@ -72,7 +82,8 @@ def state_tier(points: DataFrame, bucket_ms: int, nstates: int,
                  F.array(*[
                      F.sum(F.when(F.col("s") == i, F.col("hold"))
                            .otherwise(F.lit(0))).cast("long")
-                     for i in range(nstates)]).alias("durs")))
+                     for i in range(nstates)]).alias("durs"),
+                 F.sum("flip").cast("long").alias("trans")))
 
 
 def cascade_state_tier(tier: DataFrame, from_ms: int, to_ms: int,
@@ -86,8 +97,12 @@ def cascade_state_tier(tier: DataFrame, from_ms: int, to_ms: int,
     coarse = bucket_col(F.col("bucket"), to_ms)
     seam = bucket_col(F.lead("bucket").over(w), to_ms) == coarse
     gap = F.lead("first_ts").over(w) - F.col("last_ts")
-    staged = tier.withColumn(
+    seam_flip = seam & (F.lead("first_s").over(w) != F.col("last_s"))
+    staged = (tier.withColumn(
         "bridge", F.when(seam, gap).otherwise(F.lit(0)).cast("long"))
+        .withColumn(
+        "seam_trans", F.when(seam_flip, F.lit(1))
+                       .otherwise(F.lit(0)).cast("long")))
     return (staged.groupBy(*keys, coarse.alias("bucket"))
             .agg(F.sum("n").alias("n"),
                  F.min("first_ts").alias("first_ts"),
@@ -98,7 +113,9 @@ def cascade_state_tier(tier: DataFrame, from_ms: int, to_ms: int,
                      F.sum(F.col("durs")[i]
                            + F.when(F.col("last_s") == i, F.col("bridge"))
                               .otherwise(F.lit(0))).cast("long")
-                     for i in range(nstates)]).alias("durs")))
+                     for i in range(nstates)]).alias("durs"),
+                 (F.sum("trans") + F.sum("seam_trans")).cast("long")
+                 .alias("trans")))
 
 
 def refresh_state_tier(tier: DataFrame, late_points: DataFrame,

@@ -856,6 +856,7 @@ _TF_COLS = (
     ("dominant", "string"),
     ("ms_interp_user", "long"), ("ms_interp_assistant", "long"),
     ("ms_interp_tool", "long"), ("dominant_interp", "string"),
+    ("trans", "long"),
     # OHLCV candlestick (operators/candle.py); n, first_ts/last_ts
     # shared — v is the len channel, volume the token-count channel
     ("open", "double"), ("close", "double"),
@@ -1011,7 +1012,7 @@ def q_tier_families_1d(spark, sf_dir):
         "conv_id", "bucket", "n", "first_ts", "first_s", "last_ts",
         "last_s", "duration_ms", "ms_user", "ms_assistant", "ms_tool",
         "dominant", "window_ms", "ms_interp_user", "ms_interp_assistant",
-        "ms_interp_tool", "dominant_interp")
+        "ms_interp_tool", "dominant_interp", "trans")
     cxy = xy.select("conv_id", "ts_ms", F.col("x").alias("v"),
                     F.col("y").alias("vol"))
     cnd_fine = refresh_candle_tier(
@@ -1051,7 +1052,7 @@ _TF_HIST_NAMES = ("below", "above", "p50", "p90", "p99")
 _TF_STATE_NAMES = ("first_s", "last_s", "ms_user", "ms_assistant",
                    "ms_tool", "dominant", "ms_interp_user",
                    "ms_interp_assistant", "ms_interp_tool",
-                   "dominant_interp")
+                   "dominant_interp", "trans")
 _TF_CANDLE_NAMES = ("open", "close", "high", "low", "cvsum", "cvol",
                     "pvsum", "change", "spread", "vavg", "vwap")
 
@@ -1246,7 +1247,7 @@ spt AS (SELECT conv_id, epoch_ms(ts) AS ts_ms,
                          WHEN 'assistant' THEN 1 ELSE 2 END AS s
         FROM transcripts),
 sso AS (SELECT conv_id, ts_ms, s, {day_b} AS bucket,
-               lead(ts_ms) OVER sw AS nts,
+               lead(ts_ms) OVER sw AS nts, lead(s) OVER sw AS nxs,
                first_value(s) OVER spb AS fs, last_value(s) OVER spb AS ls
         FROM spt
         WINDOW sw AS (PARTITION BY conv_id ORDER BY ts_ms, s),
@@ -1257,7 +1258,10 @@ sso AS (SELECT conv_id, ts_ms, s, {day_b} AS bucket,
                             AND UNBOUNDED FOLLOWING)),
 ssg AS (SELECT *, CASE WHEN nts IS NOT NULL
                        AND CAST(floor(nts / {d}) AS BIGINT) * {d} = bucket
-                       THEN nts - ts_ms ELSE 0 END AS hold
+                       THEN nts - ts_ms ELSE 0 END AS hold,
+               CASE WHEN nts IS NOT NULL
+                    AND CAST(floor(nts / {d}) AS BIGINT) * {d} = bucket
+                    AND nxs <> s THEN 1 ELSE 0 END AS flip
         FROM sso),
 sst AS (SELECT conv_id, bucket, count(*) AS n,
                min(ts_ms) AS first_ts, CAST(min(fs) AS BIGINT) AS first_s,
@@ -1267,7 +1271,8 @@ sst AS (SELECT conv_id, bucket, count(*) AS n,
                CAST(sum(CASE WHEN s = 1 THEN hold ELSE 0 END)
                     AS BIGINT) AS d1,
                CAST(sum(CASE WHEN s = 2 THEN hold ELSE 0 END)
-                    AS BIGINT) AS d2
+                    AS BIGINT) AS d2,
+               CAST(sum(flip) AS BIGINT) AS trans
         FROM ssg GROUP BY 1, 2),
 sse AS (SELECT *, lag(last_s) OVER swb AS prev_ls,
                lead(bucket) OVER swb IS NOT NULL AS has_next
@@ -1301,7 +1306,8 @@ ssf AS (SELECT conv_id, bucket, n, first_ts, first_s, last_ts, last_s,
                CAST(e2 AS BIGINT) AS ms_interp_tool,
                CASE WHEN e0 >= e1 AND e0 >= e2 THEN 'user'
                     WHEN e1 >= e2 THEN 'assistant'
-                    ELSE 'tool' END AS dominant_interp
+                    ELSE 'tool' END AS dominant_interp,
+               trans
         FROM ssj),
 cno AS (SELECT conv_id, ts_ms, x AS v, y AS vol, {day_b} AS bucket,
                first_value(x) OVER cpb AS ov, last_value(x) OVER cpb AS cv
@@ -1412,7 +1418,7 @@ SELECT 'state', conv_id, bucket, n,
        {_tf_nulls(*_TF_HIST_NAMES)},
        first_s, last_s, ms_user, ms_assistant, ms_tool, dominant,
        ms_interp_user, ms_interp_assistant, ms_interp_tool,
-       dominant_interp,
+       dominant_interp, trans,
        {_tf_nulls(*_TF_CANDLE_NAMES)}
 FROM ssf
 UNION ALL

@@ -267,6 +267,7 @@ STREAM_STATE_SCHEMA = T.StructType([
     T.StructField("last_ts", T.LongType()),
     T.StructField("last_s", T.IntegerType()),
     T.StructField("durs", T.ArrayType(T.LongType())),
+    T.StructField("trans", T.LongType()),
 ])
 
 
@@ -279,12 +280,14 @@ def _make_seal_state_row(nstates: int):
         ts, v = _sorted_ts_v(ts_l, v_l)
         s = v.astype(np.int64)
         durs = np.zeros(nstates, np.int64)
+        trans = 0
         if len(ts) > 1:
             np.add.at(durs, s[:-1], np.diff(ts))
+            trans = int((np.diff(s) != 0).sum())
         return {"conv_id": conv_id, "bucket": bucket, "n": int(len(ts)),
                 "first_ts": int(ts[0]), "first_s": int(s[0]),
                 "last_ts": int(ts[-1]), "last_s": int(s[-1]),
-                "durs": durs.tolist()}
+                "durs": durs.tolist(), "trans": trans}
     return seal
 
 

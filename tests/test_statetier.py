@@ -39,17 +39,19 @@ def _truth(rows, bucket_ms):
     for k, pl in by_bucket.items():
         pl.sort()                       # (ts, s) tie order
         durs = [0] * K
-        for (t0, s0), (t1, _) in zip(pl, pl[1:]):
+        trans = 0
+        for (t0, s0), (t1, s1) in zip(pl, pl[1:]):
             durs[s0] += t1 - t0
+            trans += s1 != s0
         out[k] = (len(pl), pl[0][0], pl[0][1], pl[-1][0], pl[-1][1],
-                  tuple(durs))
+                  tuple(durs), trans)
     return out
 
 
 def _collect(tier):
     return {(r["conv_id"], r["bucket"]):
             (r["n"], r["first_ts"], r["first_s"], r["last_ts"],
-             r["last_s"], tuple(r["durs"]))
+             r["last_s"], tuple(r["durs"]), r["trans"])
             for r in tier.collect()}
 
 
@@ -62,6 +64,8 @@ def test_state_tier_matches_reference(spark):
     # the corpus must actually hold time in more than one state
     held = [sum(v[5][i] for v in truth.values()) for i in range(K)]
     assert sum(1 for h in held if h > 0) >= 2
+    # ... and actually change state within buckets
+    assert sum(v[6] for v in truth.values()) > 0
     pts.unpersist()
 
 
@@ -72,7 +76,7 @@ def test_cascade_exactness_and_invariant(spark):
     direct = _collect(state_tier(pts, DAY_MS, K))
     assert merged == direct
     # Σ durs = observed span, at both grains (seams bridged exactly)
-    for n, first_ts, _, last_ts, _, durs in merged.values():
+    for n, first_ts, _, last_ts, _, durs, _trans in merged.values():
         assert sum(durs) == last_ts - first_ts
     pts.unpersist()
 
@@ -114,8 +118,11 @@ def test_edges_ties_and_serve(spark):
         (2 * m, 0, 3 * m)
     assert c1["first_s"] == 0 and c1["last_s"] == 1
     assert c1["duration_ms"] == 5 * m and c1["dominant"] == "user"
+    # a→a (tie, no flip), a→u, u→t: two transitions — the zero-length
+    # tied pair counts only when the state actually changes
+    assert c1["trans"] == 2
     c2 = est["c2"]
-    assert c2["n"] == 1 and c2["duration_ms"] == 0
+    assert c2["n"] == 1 and c2["duration_ms"] == 0 and c2["trans"] == 0
     assert (c2["ms_assistant"], c2["ms_tool"], c2["ms_user"]) == (0, 0, 0)
     # all-zero durs: ties break to the FIRST state in the domain
     assert c2["dominant"] == "assistant"

@@ -152,14 +152,15 @@ def test_family_laws_on_adversarial_corpora(spark):
         # --- state durations: seam bridge attributed to the earlier
         # bucket's last state; refresh rebuilds (a late sample can move
         # held time BETWEEN states); Σ durs = span must survive merges
-        scols = ("n", "first_ts", "first_s", "last_ts", "last_s", "durs")
+        scols = ("n", "first_ts", "first_s", "last_ts", "last_s", "durs",
+                 "trans")
         ps = pts.select("conv_id", "ts_ms",
                         (F.col("x").cast("long") % 3).cast("int").alias("s"))
         fine = state_tier(ps, HOUR_MS, 3)
         merged = _key(cascade_state_tier(fine, HOUR_MS, DAY_MS, 3), scols)
         _assert_close(merged, _key(state_tier(ps, DAY_MS, 3), scols),
                       f"state cascade seed={seed}")
-        for (n, first_ts, _, last_ts, _, durs) in merged.values():
+        for (n, first_ts, _, last_ts, _, durs, _t) in merged.values():
             assert sum(durs) == last_ts - first_ts, f"state inv seed={seed}"
         ps_on = on_time.select(
             "conv_id", "ts_ms",
