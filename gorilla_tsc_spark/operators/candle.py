@@ -118,6 +118,17 @@ def refresh_candle_tier(tier: DataFrame, late_points: DataFrame,
             .agg(*_merge_aggs("vol" in tier.columns)))
 
 
+def candle_gap_estimates(tier: DataFrame,
+                         keys=("conv_id",)) -> DataFrame:
+    """Serve the opening gap — this bar's open minus the PREVIOUS
+    bar's close (the classic gap-up/gap-down signal; NULL on a series'
+    first bar).  Pure lag over tier rows, like the other families'
+    interpolated serves."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(*keys).orderBy("bucket")
+    return tier.withColumn("gap", F.col("open") - F.lag("close").over(w))
+
+
 def candle_estimates(tier: DataFrame) -> DataFrame:
     """Serve: bar change (close − open), spread (high − low), plain
     mean, and — when volume rode along — the exact VWAP.  All inputs

@@ -863,7 +863,7 @@ _TF_COLS = (
     ("high", "double"), ("low", "double"), ("cvsum", "double"),
     ("cvol", "double"), ("pvsum", "double"),
     ("change", "double"), ("spread", "double"),
-    ("vavg", "double"), ("vwap", "double"),
+    ("vavg", "double"), ("vwap", "double"), ("gap", "double"),
 )
 
 
@@ -924,8 +924,8 @@ def q_tier_families_1d(spark, sf_dir):
     from .operators.rate import (cascade_rate_tier, rate_estimates,
                                  rate_interpolated_estimates, rate_tier,
                                  refresh_rate_tier)
-    from .operators.candle import (candle_estimates, candle_tier,
-                                   cascade_candle_tier,
+    from .operators.candle import (candle_estimates, candle_gap_estimates,
+                                   candle_tier, cascade_candle_tier,
                                    refresh_candle_tier)
     from .operators.statetier import (cascade_state_tier,
                                       refresh_state_tier, state_estimates,
@@ -1018,13 +1018,13 @@ def q_tier_families_1d(spark, sf_dir):
     cnd_fine = refresh_candle_tier(
         candle_tier(cxy.where(~late_pred), HOUR_MS, vol_col="vol"),
         cxy.where(late_pred), HOUR_MS, vol_col="vol")
-    cnd = candle_estimates(
-        cascade_candle_tier(cnd_fine, HOUR_MS, DAY_MS)).select(
+    cnd = candle_estimates(candle_gap_estimates(
+        cascade_candle_tier(cnd_fine, HOUR_MS, DAY_MS))).select(
         "conv_id", "bucket", "n", "first_ts", "last_ts", "open",
         "close", "high", "low", F.col("vsum").alias("cvsum"),
         F.col("vol").alias("cvol"), "pvsum", "change", "spread",
         (F.round("vavg", 6) + z).alias("vavg"),
-        (F.round("vwap", 6) + z).alias("vwap"))
+        (F.round("vwap", 6) + z).alias("vwap"), "gap")
     return (_tf_pad(corr, "corr")
             .unionByName(_tf_pad(twa, "twa"))
             .unionByName(_tf_pad(hb, "heartbeat"))
@@ -1054,7 +1054,7 @@ _TF_STATE_NAMES = ("first_s", "last_s", "ms_user", "ms_assistant",
                    "ms_interp_assistant", "ms_interp_tool",
                    "dominant_interp", "trans")
 _TF_CANDLE_NAMES = ("open", "close", "high", "low", "cvsum", "cvol",
-                    "pvsum", "change", "spread", "vavg", "vwap")
+                    "pvsum", "change", "spread", "vavg", "vwap", "gap")
 
 
 def _tier_families_sql() -> str:
@@ -1328,7 +1328,9 @@ cnf AS (SELECT conv_id, bucket, n, first_ts, last_ts, open, close,
                close - open AS change, high - low AS spread,
                round(cvsum / n, 6) + 0.0 AS vavg,
                CASE WHEN cvol <> 0
-                    THEN round(pvsum / cvol, 6) + 0.0 END AS vwap
+                    THEN round(pvsum / cvol, 6) + 0.0 END AS vwap,
+               open - lag(close) OVER (PARTITION BY conv_id
+                                       ORDER BY bucket) AS gap
         FROM cnt2)
 SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        round((n * sxy - sx * sy) / (n * n), 6) + 0.0 AS cov,
@@ -1431,7 +1433,7 @@ SELECT 'candle', conv_id, bucket, n,
        {_tf_nulls(*_TF_HIST_NAMES)},
        {_tf_nulls(*_TF_STATE_NAMES)},
        open, close, high, low, cvsum, cvol, pvsum, change, spread,
-       vavg, vwap
+       vavg, vwap, gap
 FROM cnf""")
 
 

@@ -106,6 +106,22 @@ def test_ties_serve_and_vwap(spark):
     assert c2["vwap"] is None          # zero volume serves NULL
 
 
+def test_gap_serve(spark):
+    from gorilla_tsc_spark.operators.candle import candle_gap_estimates
+    H = HOUR_MS
+    rows = [
+        ("c1", 10, 5.0), ("c1", 20, 8.0),          # bucket 0: close 8
+        ("c1", H + 5, 6.0), ("c1", H + 9, 7.0),     # bucket H: open 6
+        ("c1", 3 * H, 2.0),                         # bucket 3H: open 2
+    ]
+    pts = spark.createDataFrame(rows, "conv_id string, ts_ms long, v double")
+    got = {r["bucket"]: r["gap"] for r in candle_gap_estimates(
+        candle_tier(pts, H)).collect()}
+    assert got[0] is None                 # first bar has no prior close
+    assert got[H] == 6.0 - 8.0            # gap-down vs bucket-0 close
+    assert got[3 * H] == 2.0 - 7.0        # prior TIER row, not prior hour
+
+
 def test_without_volume_columns_absent(spark):
     pts = _pts(spark)
     tier = candle_tier(pts, HOUR_MS)
