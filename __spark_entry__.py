@@ -20,13 +20,16 @@ range join (DuckDB inequality-join truth), M4 (deterministic
 per-bucket extremes), anomaly z-score (window SQL, 6dp-rounded z),
 decontamination (raw-gram overlap truth) and duplicate-cluster
 connected components (recursive-CTE transitive closure).  Round 5
-driver-gates the remaining round-4 surface: all three tier families
-(corr/twa/heartbeat, each cascaded 1h→1d vs a DIRECT 1d oracle, with
-the interpolated serves folded in), the zone-map value scan (SQL
-value filter + candidate-block-count truth), the EWMA serve (DuckDB
-recursive-CTE recursion, 6dp), the sketch tiers (HLL/KLL/Theta/top-k
-error-bound audit, lossy_bounds-style), and the streaming late-data
-path (two-batch out-of-order replay merged back to point identity).
+driver-gates the remaining round-4 surface: the merged tier-family
+gate (corr/twa/heartbeat plus the round-5 counter-rate, fixed-bin
+histogram, LOCF state-duration and OHLCV candle families — seven
+branches, each refresh-routed at 1h and cascaded 1h→1d vs a DIRECT
+1d oracle, with the interpolated/gap/transition serves folded in),
+the zone-map value scan (SQL value filter + candidate-block-count
+truth), the EWMA serve (DuckDB recursive-CTE recursion, 6dp), the
+sketch tiers (HLL/KLL/Theta/top-k error-bound audit,
+lossy_bounds-style), and the streaming late-data path (two-batch
+out-of-order replay merged back to point identity).
 """
 
 from __future__ import annotations

@@ -146,6 +146,25 @@ def refresh_state_tier(tier: DataFrame, late_points: DataFrame,
     return untouched.select(*out_cols).unionByName(rebuilt.select(*out_cols))
 
 
+def merge_state_series(tier: DataFrame, nstates: int,
+                       keys=()) -> DataFrame:
+    """Cross-series merge: sum held time over ALL series per bucket (or
+    per any coarser key set) — fleet-wide time-in-state from per-series
+    tiers without revisiting raw data (the `sum by (state)` shape,
+    `merge_hist_series`' analogue).  Only the additive components
+    survive: per-series step functions don't concatenate ACROSS series,
+    so there is no cross-series seam bridge and no fleet first/last
+    state — by design, exactly like fleet histograms dropping
+    open/close semantics."""
+    return (tier.groupBy(*keys, "bucket")
+            .agg(F.sum("n").alias("n"),
+                 F.count(F.lit(1)).alias("series"),
+                 F.array(*[
+                     F.sum(F.col("durs")[i]).cast("long")
+                     for i in range(nstates)]).alias("durs"),
+                 F.sum("trans").cast("long").alias("trans")))
+
+
 def _dominant_idx(durs):
     """Index of the largest duration; ties → the SMALLEST index (the
     fold only replaces on strictly-greater, so the earliest max wins —

@@ -128,6 +128,29 @@ def test_edges_ties_and_serve(spark):
     assert c2["dominant"] == "assistant"
 
 
+def test_merge_state_series_fleet_wide(spark):
+    from gorilla_tsc_spark.operators.statetier import merge_state_series
+    pts = _pts(spark).cache()
+    per_series = state_tier(pts, DAY_MS, K)
+    fleet = {r["bucket"]: r for r in
+             merge_state_series(per_series, K).collect()}
+    # per bucket: Σ durs over series and Σ trans must equal the
+    # column-wise sums of the per-series tier — plain additivity
+    agg = {}
+    for r in per_series.collect():
+        n, d, t = agg.get(r["bucket"], (0, [0] * K, 0))
+        agg[r["bucket"]] = (n + r["n"],
+                            [a + b for a, b in zip(d, r["durs"])],
+                            t + r["trans"])
+    assert set(fleet) == set(agg)
+    for b, (n, durs, trans) in agg.items():
+        assert fleet[b]["n"] == n
+        assert list(fleet[b]["durs"]) == durs
+        assert fleet[b]["trans"] == trans
+        assert fleet[b]["series"] >= 1
+    pts.unpersist()
+
+
 def test_interpolated_estimates(spark):
     m, H = 60_000, HOUR_MS
     rows = [
