@@ -56,6 +56,14 @@ def test_new_families_from_decoded_blocks(spark):
                                  HOUR_MS, HB))
             == _rows(heartbeat_tier(raw.select("conv_id", "ts_ms"),
                                     HOUR_MS, HB)))
+    # candle tier (with words as volume): decoded ≡ raw
+    from gorilla_tsc_spark.operators.candle import candle_tier
+    assert (_rows(candle_tier(dec.select(
+                "conv_id", "ts_ms", F.col("x").alias("v"),
+                F.col("y").alias("vol")), HOUR_MS, vol_col="vol"))
+            == _rows(candle_tier(raw.select(
+                "conv_id", "ts_ms", F.col("x").alias("v"),
+                F.col("y").alias("vol")), HOUR_MS, vol_col="vol")))
     # state-duration tier: the state-code channel survives the codec
     # round trip and the tier built from decoded codes ≡ raw
     from gorilla_tsc_spark.operators.statetier import state_tier
