@@ -175,3 +175,32 @@ def register_views(spark: SparkSession, warehouse: str,
         except Exception:
             continue  # tier not materialized in this warehouse
     return names
+
+
+def register_tier_views(spark: SparkSession, tiers_dir: str,
+                        prefix: str = "tier_") -> list[str]:
+    """Expose a ``jobs/tiers_job.py`` output directory to plain
+    ``spark.sql`` users: every family tier table present (corr_fine,
+    twa_coarse, hb/rate/hist/state/candle …) becomes a
+    ``<prefix><table>`` temp view.  Discovery is by directory listing,
+    so new families need no registration code; on Iceberg the tables
+    are already SQL-addressable and this is the parquet-sandbox
+    equivalent.  Returns the view names registered."""
+    import os
+
+    names = []
+    try:
+        entries = sorted(os.listdir(tiers_dir))
+    except OSError:
+        return names
+    for entry in entries:
+        path = os.path.join(tiers_dir, entry)
+        if not os.path.isdir(path):
+            continue
+        try:
+            spark.read.parquet(path).createOrReplaceTempView(
+                f"{prefix}{entry}")
+        except Exception:
+            continue  # not a parquet table
+        names.append(f"{prefix}{entry}")
+    return names

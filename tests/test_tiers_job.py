@@ -92,4 +92,14 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
     for name in ("corr_coarse", "twa_coarse", "hb_coarse", "rate_coarse",
                  "hist_coarse", "state_coarse", "candle_coarse"):
         assert counters[name] > 0
+
+    # the job's output is SQL-addressable via register_tier_views, and
+    # SQL over a view serves exactly the written table
+    from gorilla_tsc_spark.pipeline import register_tier_views
+    views = register_tier_views(spark, out)
+    for name in ("tier_corr_fine", "tier_candle_coarse",
+                 "tier_state_fine"):
+        assert name in views
+    assert (spark.sql("SELECT count(*) AS c FROM tier_candle_coarse")
+            .first()["c"] == counters["candle_coarse"])
     pts.unpersist()
