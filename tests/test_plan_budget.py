@@ -67,11 +67,11 @@ EXCHANGE_BUDGET = {
     # is another invalidation-rebuild one (+8: window+groupBy for
     # build, rebuild and cascade plus the refresh's broadcast
     # semi/anti — measured 44 with six); the distributive OHLCV candle
-    # adds 3 (build + delta-merge + cascade groupBys, no window —
-    # measured 47 with seven).  The PRODUCTION family plans (plain
-    # build + cascade) are pinned separately in
-    # test_family_production_plans below.
-    "tier_families_1d": 47,
+    # adds 4 (build + delta-merge + cascade groupBys plus the gap
+    # serve's one lag window over tier rows — measured 48 with seven).
+    # The PRODUCTION family plans (plain build + cascade) are pinned
+    # separately in test_family_production_plans below.
+    "tier_families_1d": 48,
     # derivation + encode (conv,day,seq) shuffle; the zone-map prune is
     # a scan-side filter, never an exchange
     "value_scan": 3,
