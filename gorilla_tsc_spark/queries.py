@@ -864,6 +864,10 @@ _TF_COLS = (
     ("cvol", "double"), ("pvsum", "double"),
     ("change", "double"), ("spread", "double"),
     ("vavg", "double"), ("vwap", "double"), ("gap", "double"),
+    # lag-1 autocorrelation (operators/autocorr.py); n, first/last
+    # ts+v, sx, sxx shared with the corr/twa groups above
+    ("sadj", "double"), ("n_pairs", "long"),
+    ("mean", "double"), ("var_pop", "double"), ("lag1", "double"),
 )
 
 
@@ -880,7 +884,7 @@ def _tf_pad(df: DataFrame, family: str) -> DataFrame:
 
 
 def q_tier_families_1d(spark, sf_dir):
-    """All seven tier families under ONE driver gate, each built at 1h
+    """All eight tier families under ONE driver gate, each built at 1h
     THROUGH ITS LATE-DATA REFRESH PATH and CASCADED to 1d while the
     oracle builds 1d DIRECT from all points — so the gate pins each
     family's refresh algebra (corr / hist: delta-tier sum-merge; twa /
@@ -911,7 +915,12 @@ def q_tier_families_1d(spark, sf_dir):
     so it hash-matches with no rounding at all.  The candle branch is
     the distributive OHLCV bar over (len, token-count as volume): its
     refresh is a pure delta-merge like hist, and its open/close pin
-    the (ts, v) tie rule through merge algebra on both engines."""
+    the (ts, v) tie rule through merge algebra on both engines.  The
+    autocorr branch (round-5 thirteenth family) pins the adjacency-walk
+    sums (sadj, n_pairs) through the seam-product cascade — integer-
+    valued-double products, hash-exact unrounded — and the served
+    mean / population variance / lag-1 r via a token-for-token mirrored
+    expression (mu and den staged identically on both engines, 6dp)."""
     from .operators.correlate import (cascade_corr_tier, corr_estimates,
                                       corr_tier, refresh_corr_tier)
     from .operators.histogram import (cascade_hist_tier, hist_estimates,
@@ -931,6 +940,9 @@ def q_tier_families_1d(spark, sf_dir):
                                       refresh_state_tier, state_estimates,
                                       state_interpolated_estimates,
                                       state_tier)
+    from .operators.autocorr import (autocorr_estimates, autocorr_tier,
+                                     cascade_autocorr_tier,
+                                     refresh_autocorr_tier)
     from .operators.timeweight import (cascade_twa_tier, refresh_twa_tier,
                                        twa_estimates,
                                        twa_interpolated_estimates, twa_tier)
@@ -1025,13 +1037,23 @@ def q_tier_families_1d(spark, sf_dir):
         F.col("vol").alias("cvol"), "pvsum", "change", "spread",
         (F.round("vavg", 6) + z).alias("vavg"),
         (F.round("vwap", 6) + z).alias("vwap"), "gap")
+    ac_fine = refresh_autocorr_tier(autocorr_tier(on_time, HOUR_MS), late,
+                                    on_time, HOUR_MS)
+    ac = autocorr_estimates(
+        cascade_autocorr_tier(ac_fine, HOUR_MS, DAY_MS)).select(
+        "conv_id", "bucket", "n", "first_ts", "first_v", "last_ts",
+        "last_v", "sx", "sxx", "sadj", "n_pairs",
+        (F.round("mean", 6) + z).alias("mean"),
+        (F.round("var_pop", 6) + z).alias("var_pop"),
+        (F.round("lag1", 6) + z).alias("lag1"))
     return (_tf_pad(corr, "corr")
             .unionByName(_tf_pad(twa, "twa"))
             .unionByName(_tf_pad(hb, "heartbeat"))
             .unionByName(_tf_pad(rate, "rate"))
             .unionByName(_tf_pad(hist, "hist"))
             .unionByName(_tf_pad(st, "state"))
-            .unionByName(_tf_pad(cnd, "candle")))
+            .unionByName(_tf_pad(cnd, "candle"))
+            .unionByName(_tf_pad(ac, "autocorr")))
 
 
 def _tf_nulls(*names: str) -> str:
@@ -1055,6 +1077,7 @@ _TF_STATE_NAMES = ("first_s", "last_s", "ms_user", "ms_assistant",
                    "dominant_interp", "trans")
 _TF_CANDLE_NAMES = ("open", "close", "high", "low", "cvsum", "cvol",
                     "pvsum", "change", "spread", "vavg", "vwap", "gap")
+_TF_AC_NAMES = ("sadj", "n_pairs", "mean", "var_pop", "lag1")
 
 
 def _tier_families_sql() -> str:
@@ -1331,7 +1354,39 @@ cnf AS (SELECT conv_id, bucket, n, first_ts, last_ts, open, close,
                     THEN round(pvsum / cvol, 6) + 0.0 END AS vwap,
                open - lag(close) OVER (PARTITION BY conv_id
                                        ORDER BY bucket) AS gap
-        FROM cnt2)
+        FROM cnt2),
+aco AS (SELECT conv_id, ts_ms, v, {day_b} AS bucket,
+               lead(ts_ms) OVER acw AS nts, lead(v) OVER acw AS nv,
+               first_value(v) OVER acpb AS fv, last_value(v) OVER acpb AS lv
+        FROM pts WHERE v IS NOT NULL
+        WINDOW acw AS (PARTITION BY conv_id ORDER BY ts_ms, v),
+               acpb AS (PARTITION BY conv_id,
+                                     CAST(floor(ts_ms / {d}) AS BIGINT)
+                        ORDER BY ts_ms, v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)),
+act AS (SELECT conv_id, bucket, count(*) AS n,
+               min(ts_ms) AS first_ts, min(fv) AS first_v,
+               max(ts_ms) AS last_ts, min(lv) AS last_v,
+               sum(v) AS sx, sum(v * v) AS sxx,
+               sum(CASE WHEN nts IS NOT NULL
+                        AND CAST(floor(nts / {d}) AS BIGINT) * {d} = bucket
+                        THEN v * nv ELSE 0 END) AS sadj,
+               count(CASE WHEN nts IS NOT NULL
+                          AND CAST(floor(nts / {d}) AS BIGINT) * {d} = bucket
+                          THEN 1 END) AS n_pairs
+        FROM aco GROUP BY 1, 2),
+aci AS (SELECT *, sx / n AS mu FROM act),
+acm AS (SELECT *, sxx - sx * mu AS den FROM aci),
+acf AS (SELECT conv_id, bucket, n, first_ts, first_v, last_ts, last_v,
+               sx, sxx, sadj, n_pairs,
+               round(mu, 6) + 0.0 AS mean,
+               round(den / n, 6) + 0.0 AS var_pop,
+               CASE WHEN n_pairs >= 1 AND den > 0
+                    THEN round((sadj - mu * (2 * sx - first_v - last_v)
+                                + n_pairs * mu * mu) / den, 6) + 0.0
+               END AS lag1
+        FROM acm)
 SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        round((n * sxy - sx * sy) / (n * n), 6) + 0.0 AS cov,
        CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
@@ -1353,7 +1408,8 @@ SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        {_tf_nulls(*_TF_RATE_NAMES)},
        {_tf_nulls(*_TF_HIST_NAMES)},
        {_tf_nulls(*_TF_STATE_NAMES)},
-       {_tf_nulls(*_TF_CANDLE_NAMES)}
+       {_tf_nulls(*_TF_CANDLE_NAMES)},
+       {_tf_nulls(*_TF_AC_NAMES)}
 FROM ct
 UNION ALL
 SELECT 'twa', conv_id, bucket, n,
@@ -1364,7 +1420,8 @@ SELECT 'twa', conv_id, bucket, n,
        {_tf_nulls(*_TF_RATE_NAMES)},
        {_tf_nulls(*_TF_HIST_NAMES)},
        {_tf_nulls(*_TF_STATE_NAMES)},
-       {_tf_nulls(*_TF_CANDLE_NAMES)}
+       {_tf_nulls(*_TF_CANDLE_NAMES)},
+       {_tf_nulls(*_TF_AC_NAMES)}
 FROM tf
 UNION ALL
 SELECT 'heartbeat', conv_id, bucket, n,
@@ -1378,7 +1435,8 @@ SELECT 'heartbeat', conv_id, bucket, n,
        {_tf_nulls(*_TF_RATE_NAMES)},
        {_tf_nulls(*_TF_HIST_NAMES)},
        {_tf_nulls(*_TF_STATE_NAMES)},
-       {_tf_nulls(*_TF_CANDLE_NAMES)}
+       {_tf_nulls(*_TF_CANDLE_NAMES)},
+       {_tf_nulls(*_TF_AC_NAMES)}
 FROM hbf
 UNION ALL
 SELECT 'rate', conv_id, bucket, n,
@@ -1391,7 +1449,8 @@ SELECT 'rate', conv_id, bucket, n,
        increase, resets, rate_per_s, increase_interp, resets_interp,
        {_tf_nulls(*_TF_HIST_NAMES)},
        {_tf_nulls(*_TF_STATE_NAMES)},
-       {_tf_nulls(*_TF_CANDLE_NAMES)}
+       {_tf_nulls(*_TF_CANDLE_NAMES)},
+       {_tf_nulls(*_TF_AC_NAMES)}
 FROM rf
 UNION ALL
 SELECT 'hist', conv_id, bucket, n,
@@ -1402,7 +1461,8 @@ SELECT 'hist', conv_id, bucket, n,
        {_tf_nulls(*_TF_RATE_NAMES)},
        below, above, p50, p90, p99,
        {_tf_nulls(*_TF_STATE_NAMES)},
-       {_tf_nulls(*_TF_CANDLE_NAMES)}
+       {_tf_nulls(*_TF_CANDLE_NAMES)},
+       {_tf_nulls(*_TF_AC_NAMES)}
 FROM hgf
 UNION ALL
 SELECT 'state', conv_id, bucket, n,
@@ -1421,7 +1481,8 @@ SELECT 'state', conv_id, bucket, n,
        first_s, last_s, ms_user, ms_assistant, ms_tool, dominant,
        ms_interp_user, ms_interp_assistant, ms_interp_tool,
        dominant_interp, trans,
-       {_tf_nulls(*_TF_CANDLE_NAMES)}
+       {_tf_nulls(*_TF_CANDLE_NAMES)},
+       {_tf_nulls(*_TF_AC_NAMES)}
 FROM ssf
 UNION ALL
 SELECT 'candle', conv_id, bucket, n,
@@ -1433,8 +1494,25 @@ SELECT 'candle', conv_id, bucket, n,
        {_tf_nulls(*_TF_HIST_NAMES)},
        {_tf_nulls(*_TF_STATE_NAMES)},
        open, close, high, low, cvsum, cvol, pvsum, change, spread,
-       vavg, vwap, gap
-FROM cnf""")
+       vavg, vwap, gap,
+       {_tf_nulls(*_TF_AC_NAMES)}
+FROM cnf
+UNION ALL
+SELECT 'autocorr', conv_id, bucket, n,
+       sx,
+       {_tf_nulls("sy")},
+       sxx,
+       {_tf_nulls("syy", "sxy", "cov", "r", "slope", "intercept")},
+       first_ts, last_ts, first_v, last_v,
+       {_tf_nulls("wsum", "duration_ms", "twa", "covered_ms",
+                  "twa_interp")},
+       {_tf_nulls(*_TF_HB_NAMES)},
+       {_tf_nulls(*_TF_RATE_NAMES)},
+       {_tf_nulls(*_TF_HIST_NAMES)},
+       {_tf_nulls(*_TF_STATE_NAMES)},
+       {_tf_nulls(*_TF_CANDLE_NAMES)},
+       sadj, n_pairs, mean, var_pop, lag1
+FROM acf""")
 
 
 def q_codec_roundtrip_variants(spark, sf_dir):

@@ -68,10 +68,14 @@ EXCHANGE_BUDGET = {
     # build, rebuild and cascade plus the refresh's broadcast
     # semi/anti — measured 44 with six); the distributive OHLCV candle
     # adds 4 (build + delta-merge + cascade groupBys plus the gap
-    # serve's one lag window over tier rows — measured 48 with seven).
+    # serve's one lag window over tier rows — measured 48 with seven);
+    # the autocorr family is invalidation-rebuild shaped but its
+    # adjacency window and groupBy share the twa branch's partitioning,
+    # costing 6 more (build, rebuild, cascade + the refresh broadcast
+    # pair — measured 54 with eight).
     # The PRODUCTION family plans (plain build + cascade) are pinned
     # separately in test_family_production_plans below.
-    "tier_families_1d": 48,
+    "tier_families_1d": 54,
     # derivation + encode (conv,day,seq) shuffle; the zone-map prune is
     # a scan-side filter, never an exchange
     "value_scan": 3,
@@ -188,7 +192,7 @@ def test_maintenance_operator_plans(spark):
 
 
 def test_family_production_plans(spark):
-    """PRODUCTION plan shape of the seven tier families (plain build +
+    """PRODUCTION plan shape of the eight tier families (plain build +
     cascade — what a cluster actually runs; the registry gate wraps
     them in the refresh harness): each family must plan at most 3
     exchanges (derivation + one series window/groupBy chain that
@@ -196,6 +200,8 @@ def test_family_production_plans(spark):
     cartesian anywhere."""
     from pyspark.sql import functions as F
 
+    from gorilla_tsc_spark.operators.autocorr import (autocorr_tier,
+                                                      cascade_autocorr_tier)
     from gorilla_tsc_spark.operators.correlate import (cascade_corr_tier,
                                                        corr_tier)
     from gorilla_tsc_spark.operators.heartbeat import (
@@ -247,6 +253,8 @@ def test_family_production_plans(spark):
                 HOUR_MS, DAY_MS, 3),
             "candle": cascade_candle_tier(candle_tier(pts, HOUR_MS),
                                           HOUR_MS, DAY_MS),
+            "autocorr": cascade_autocorr_tier(autocorr_tier(pts, HOUR_MS),
+                                              HOUR_MS, DAY_MS),
         }
         for name, df in cases.items():
             plan = df._jdf.queryExecution().executedPlan().toString()

@@ -1,6 +1,6 @@
 """Randomized adversarial-shape gate for the round-4/5 tier families
 (correlate / timeweight / heartbeat / rate / histogram / state /
-candle): per
+candle / autocorr): per
 seed, a
 synthetic corpus with
 timestamp TIES, multi-day silences, bursts, and singleton series —
@@ -18,6 +18,9 @@ import math
 import numpy as np
 from pyspark.sql import functions as F
 
+from gorilla_tsc_spark.operators.autocorr import (autocorr_tier,
+                                                  cascade_autocorr_tier,
+                                                  refresh_autocorr_tier)
 from gorilla_tsc_spark.operators.candle import (candle_tier,
                                                 cascade_candle_tier,
                                                 refresh_candle_tier)
@@ -193,6 +196,25 @@ def test_family_laws_on_adversarial_corpora(spark):
                 candle_tier(on_v, HOUR_MS, vol_col="vol"),
                 late_v, HOUR_MS, vol_col="vol"), kcols),
             _key(fine, kcols), f"candle refresh seed={seed}")
+
+        # --- autocorr: seam products; n_pairs = n − 1 contiguity must
+        # survive every merge even with ties and multi-day silences
+        acols = ("n", "first_ts", "first_v", "last_ts", "last_v",
+                 "sx", "sxx", "sadj", "n_pairs")
+        pv = pts.withColumnRenamed("x", "v")
+        fine = autocorr_tier(pv, HOUR_MS)
+        merged_ac = _key(cascade_autocorr_tier(fine, HOUR_MS, DAY_MS),
+                         acols)
+        _assert_close(merged_ac, _key(autocorr_tier(pv, DAY_MS), acols),
+                      f"autocorr cascade seed={seed}")
+        for va in merged_ac.values():
+            assert va[-1] == va[0] - 1, f"autocorr n_pairs inv seed={seed}"
+        _assert_close(
+            _key(refresh_autocorr_tier(
+                autocorr_tier(on_time.withColumnRenamed("x", "v"), HOUR_MS),
+                late.withColumnRenamed("x", "v"),
+                on_time.withColumnRenamed("x", "v"), HOUR_MS), acols),
+            _key(fine, acols), f"autocorr refresh seed={seed}")
 
         # --- heartbeat: seam gaps, interruption un-counting on refresh
         hcols = ("n", "first_ts", "last_ts", "live_ms", "max_gap_ms",
