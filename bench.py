@@ -356,6 +356,18 @@ def main() -> None:
 
     run("candle_tier_1h_1d", candle_tier_bench)
 
+    from gorilla_tsc_spark.operators.autocorr import (autocorr_estimates,
+                                                      autocorr_tier,
+                                                      cascade_autocorr_tier)
+
+    def autocorr_tier_bench():
+        pts = Q._len_points(spark, sf_dir)
+        tier = autocorr_tier(pts, HOUR_MS)
+        stats["autocorr_1d_buckets"] = autocorr_estimates(
+            cascade_autocorr_tier(tier, HOUR_MS, DAY_MS)).count()
+
+    run("autocorr_tier_1h_1d", autocorr_tier_bench)
+
     from gorilla_tsc_spark.operators.rollup import rollup_points
     from gorilla_tsc_spark.operators.smoothing import ewma_serve
 

@@ -36,6 +36,11 @@ The OHLCV candle (operators/candle.py) looks order-dependent (open and
 close) but is NOT: open/close are `min_by`/`max_by` over the (ts, v)
 struct — declarative aggregates — so `stream_candle_tier` is a
 watermarked windowed aggregation like corr/hist, bit-equal to batch.
+
+Lag-1 autocorrelation (operators/autocorr.py) is the time-weight class
+— the adjacency-product walk is order-dependent within the bucket — so
+`stream_autocorr_tier` reuses the buffer-and-seal shape; all sums are
+integer-valued-double arithmetic, so the sealed row bit-equals batch.
 """
 from __future__ import annotations
 
@@ -316,6 +321,66 @@ def stream_state_tier(points_stream: DataFrame, bucket_ms: int,
     return pts.groupBy("conv_id", "bucket").applyInPandasWithState(
         make_state_duration_state_fn(bucket_ms, nstates),
         outputStructType=STREAM_STATE_SCHEMA,
+        stateStructType=TWA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+STREAM_AUTOCORR_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("bucket", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("first_ts", T.LongType()),
+    T.StructField("first_v", T.DoubleType()),
+    T.StructField("last_ts", T.LongType()),
+    T.StructField("last_v", T.DoubleType()),
+    T.StructField("sx", T.DoubleType()),
+    T.StructField("sxx", T.DoubleType()),
+    T.StructField("sadj", T.DoubleType()),
+    T.StructField("n_pairs", T.LongType()),
+])
+
+
+def _seal_autocorr_row(conv_id: str, bucket: int, ts_l: list,
+                       v_l: list) -> dict:
+    """Exact batch `autocorr_tier` row for one sealed (series, bucket):
+    (ts, v)-sorted adjacency-product walk, vectorized; all in-bucket
+    pairs by construction (seams belong to the cascade)."""
+    ts, v = _sorted_ts_v(ts_l, v_l)
+    sadj = float((v[:-1] * v[1:]).sum()) if len(v) > 1 else 0.0
+    return {"conv_id": conv_id, "bucket": bucket, "n": int(len(ts)),
+            "first_ts": int(ts[0]), "first_v": float(v[0]),
+            "last_ts": int(ts[-1]), "last_v": float(v[-1]),
+            "sx": float(v.sum()), "sxx": float((v * v).sum()),
+            "sadj": sadj, "n_pairs": int(len(ts)) - 1}
+
+
+def make_autocorr_state_fn(bucket_ms: int):
+    return _make_buffering_state_fn(_seal_autocorr_row,
+                                    STREAM_AUTOCORR_SCHEMA, bucket_ms)
+
+
+def stream_autocorr_tier(points_stream: DataFrame, bucket_ms: int,
+                         delay: str = "10 minutes") -> DataFrame:
+    """Point stream (conv_id, ts, v) → watermark-sealed autocorrelation
+    tier rows, bit-equal to the batch `autocorr_tier` at the same grain
+    (integer-valued-double sums/products over the in-bucket adjacency
+    walk; seams belong to the cascade, so state is per-bucket)."""
+    pts = (points_stream
+           .where(F.col("v").isNotNull())
+           .withWatermark("ts", delay)
+           .select(
+               "conv_id",
+               (F.floor(F.unix_millis(F.col("ts").cast("timestamp"))
+                        / bucket_ms) * bucket_ms)
+               .cast("long").alias("bucket"),
+               F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+               F.col("v").cast("double").alias("v"),
+               "ts"))
+    return pts.groupBy("conv_id", "bucket").applyInPandasWithState(
+        make_autocorr_state_fn(bucket_ms),
+        outputStructType=STREAM_AUTOCORR_SCHEMA,
         stateStructType=TWA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

@@ -1,9 +1,10 @@
 """spark-submit entry point building the tier families from a
 block-store warehouse: cross-channel correlation, time-weighted
 average, heartbeat/uptime, (optionally) counter rate, (optionally)
-a fixed-bin histogram, (optionally) state-duration, and (optionally)
-an OHLCV candle — each at a fine grain plus one cascaded coarse
-grain, written as parquet tier tables under --out.
+a fixed-bin histogram, (optionally) state-duration, (optionally)
+an OHLCV candle, and (optionally) a lag-1 autocorrelation tier — each
+at a fine grain plus one cascaded coarse grain, written as parquet
+tier tables under --out.
 
 Decode happens ONCE (all families share the exploded points),
 optionally narrowed to the channels actually used; every downstream
@@ -17,6 +18,7 @@ Usage (cluster):
         [--hist-band 24:4:16]  # lo:width:nbins over the twa channel \\
         [--state-channel phase --nstates 4] \\
         [--candle-channel len [--candle-vol-channel words]] \\
+        [--autocorr-channel len] \\
         [--hb-ms 300000] [--bucket-ms 3600000] [--coarse-ms 86400000]
 
 Usage (sandbox):
@@ -60,6 +62,9 @@ def main() -> None:
     ap.add_argument("--candle-vol-channel", default=None,
                     help="optional volume channel riding along the "
                          "candle tier (adds vol/pvsum → exact VWAP)")
+    ap.add_argument("--autocorr-channel", default=None,
+                    help="channel for the lag-1 autocorrelation tier; "
+                         "omitted = skip the autocorr family")
     ap.add_argument("--hb-ms", type=int, default=5 * 60_000)
     ap.add_argument("--bucket-ms", type=int, default=3_600_000)
     ap.add_argument("--coarse-ms", type=int, default=86_400_000)
@@ -112,6 +117,8 @@ def main() -> None:
         chans.add(args.candle_channel)
     if args.candle_vol_channel:
         chans.add(args.candle_vol_channel)
+    if args.autocorr_channel:
+        chans.add(args.autocorr_channel)
     blocks = read_blocks(spark, args.warehouse).where(
         F.col("channel").isin(*chans))
     pts = (decode_blocks(blocks, args.predictor)
@@ -210,6 +217,17 @@ def main() -> None:
             write("candle_fine", candle_tier(cpts, args.bucket_ms))
         write("candle_coarse", cascade_candle_tier(
             spark.read.parquet(os.path.join(args.out, "candle_fine")),
+            args.bucket_ms, args.coarse_ms))
+
+    # lag-1 autocorrelation (smoothness/compressibility regime) over a
+    # declared channel, when requested
+    if args.autocorr_channel:
+        from gorilla_tsc_spark.operators.autocorr import (
+            autocorr_tier, cascade_autocorr_tier)
+        apts = pts.where(F.col("channel") == args.autocorr_channel)
+        write("autocorr_fine", autocorr_tier(apts, args.bucket_ms))
+        write("autocorr_coarse", cascade_autocorr_tier(
+            spark.read.parquet(os.path.join(args.out, "autocorr_fine")),
             args.bucket_ms, args.coarse_ms))
 
     pts.unpersist()

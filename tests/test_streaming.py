@@ -209,8 +209,10 @@ def test_stream_corr_and_twa_match_batch(spark, transcripts_dir, tmp_path):
     from gorilla_tsc_spark.operators.statetier import state_tier
     from gorilla_tsc_spark.operators.timeweight import twa_tier
     from gorilla_tsc_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+    from gorilla_tsc_spark.operators.autocorr import autocorr_tier
     from gorilla_tsc_spark.operators.candle import candle_tier
-    from gorilla_tsc_spark.streaming import (stream_candle_tier,
+    from gorilla_tsc_spark.streaming import (stream_autocorr_tier,
+                                             stream_candle_tier,
                                              stream_corr_tier,
                                              stream_hist_tier,
                                              stream_state_tier,
@@ -269,6 +271,13 @@ def test_stream_corr_and_twa_match_batch(spark, transcripts_dir, tmp_path):
              HOUR_MS, vol_col="vol")
          .select("conv_id", "bucket", "n", "first_ts", "open", "last_ts",
                  "close", "high", "low", "vsum", "vol", "pvsum")),
+        ("autocorr_stream",
+         stream_autocorr_tier(stream.select(
+             "conv_id", "ts", F.length("text").cast("double").alias("v")),
+             HOUR_MS),
+         autocorr_tier(batch_t.select(
+             "conv_id", F.unix_millis("ts").alias("ts_ms"),
+             F.length("text").cast("double").alias("v")), HOUR_MS)),
     ):
         q = (out.writeStream.format("memory").queryName(name)
              .outputMode("append")

@@ -9,6 +9,7 @@ import sys
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from gorilla_tsc_spark.operators.autocorr import autocorr_tier
 from gorilla_tsc_spark.operators.candle import candle_tier
 from gorilla_tsc_spark.operators.correlate import corr_tier
 from gorilla_tsc_spark.operators.encode import (block_value_column,
@@ -42,7 +43,8 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
         "tiers_job.py", "--warehouse", wh, "--out", out, "--cores", "8",
         "--rate-channel", "len", "--hist-band", "24:4:16",
         "--state-channel", "role_idx", "--nstates", "3",
-        "--candle-channel", "len", "--candle-vol-channel", "words"])
+        "--candle-channel", "len", "--candle-vol-channel", "words",
+        "--autocorr-channel", "len"])
     # the job ends with spark.stop(); it shares the pytest session via
     # getOrCreate, so neuter stop for the in-process invocation
     monkeypatch.setattr(SparkSession, "stop", lambda self: None)
@@ -89,8 +91,11 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
                   ["conv_id", "ts_ms"], "left"))
     assert (_rows(spark.read.parquet(f"{out}/candle_fine"))
             == _rows(candle_tier(cpts, HOUR_MS, vol_col="vol")))
+    assert (_rows(spark.read.parquet(f"{out}/autocorr_fine"))
+            == _rows(autocorr_tier(lenpts, HOUR_MS)))
     for name in ("corr_coarse", "twa_coarse", "hb_coarse", "rate_coarse",
-                 "hist_coarse", "state_coarse", "candle_coarse"):
+                 "hist_coarse", "state_coarse", "candle_coarse",
+                 "autocorr_coarse"):
         assert counters[name] > 0
 
     # the job's output is SQL-addressable via register_tier_views, and
