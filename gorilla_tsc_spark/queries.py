@@ -796,6 +796,9 @@ RATE_CAP = 50_000         # synthetic counter wrap modulus (forces resets)
 # so the fixture corpus populates BOTH overflow counters (below/above)
 HIST_LO, HIST_W, HIST_NBINS = 24.0, 4.0, 16
 HIST_HI = HIST_LO + HIST_W * HIST_NBINS
+# exponential-histogram family band [1, 2^9): text lengths straddle it
+# on both sides, so the gate populates below AND above
+EXPHIST_NBINS = 9
 # state-duration family domain: the transcripts role channel, indexed in
 # declaration order (the family's tie rule breaks on this index)
 STATE_NAMES = ("user", "assistant", "tool")
@@ -868,6 +871,9 @@ _TF_COLS = (
     # ts+v, sx, sxx shared with the corr/twa groups above
     ("sadj", "double"), ("n_pairs", "long"),
     ("mean", "double"), ("var_pop", "double"), ("lag1", "double"),
+    # exponential histogram (operators/exphist.py); n/below/above
+    # shared with the fixed-bin hist group above
+    ("ep50", "double"), ("ep90", "double"), ("ep99", "double"),
 )
 
 
@@ -884,7 +890,7 @@ def _tf_pad(df: DataFrame, family: str) -> DataFrame:
 
 
 def q_tier_families_1d(spark, sf_dir):
-    """All eight tier families under ONE driver gate, each built at 1h
+    """All nine tier families under ONE driver gate, each built at 1h
     THROUGH ITS LATE-DATA REFRESH PATH and CASCADED to 1d while the
     oracle builds 1d DIRECT from all points — so the gate pins each
     family's refresh algebra (corr / hist: delta-tier sum-merge; twa /
@@ -920,7 +926,11 @@ def q_tier_families_1d(spark, sf_dir):
     sums (sadj, n_pairs) through the seam-product cascade — integer-
     valued-double products, hash-exact unrounded — and the served
     mean / population variance / lag-1 r via a token-for-token mirrored
-    expression (mu and den staged identically on both engines, 6dp)."""
+    expression (mu and den staged identically on both engines, 6dp).
+    The exphist branch (round-5 fourteenth family) pins the exponential
+    power-of-two binning — bit-length integer arithmetic, no float log
+    — through the shared vector-sum merge, plus its quantile serve with
+    exact shift-built bucket edges (6dp)."""
     from .operators.correlate import (cascade_corr_tier, corr_estimates,
                                       corr_tier, refresh_corr_tier)
     from .operators.histogram import (cascade_hist_tier, hist_estimates,
@@ -943,6 +953,9 @@ def q_tier_families_1d(spark, sf_dir):
     from .operators.autocorr import (autocorr_estimates, autocorr_tier,
                                      cascade_autocorr_tier,
                                      refresh_autocorr_tier)
+    from .operators.exphist import (cascade_exphist_tier,
+                                    exphist_estimates, exphist_tier,
+                                    refresh_exphist_tier)
     from .operators.timeweight import (cascade_twa_tier, refresh_twa_tier,
                                        twa_estimates,
                                        twa_interpolated_estimates, twa_tier)
@@ -1046,6 +1059,16 @@ def q_tier_families_1d(spark, sf_dir):
         (F.round("mean", 6) + z).alias("mean"),
         (F.round("var_pop", 6) + z).alias("var_pop"),
         (F.round("lag1", 6) + z).alias("lag1"))
+    exp_fine = refresh_exphist_tier(
+        exphist_tier(on_time, HOUR_MS, EXPHIST_NBINS), late,
+        HOUR_MS, EXPHIST_NBINS)
+    exp = exphist_estimates(
+        cascade_exphist_tier(exp_fine, HOUR_MS, DAY_MS, EXPHIST_NBINS),
+        EXPHIST_NBINS).select(
+        "conv_id", "bucket", "n", "below", "above",
+        (F.round("ep50", 6) + z).alias("ep50"),
+        (F.round("ep90", 6) + z).alias("ep90"),
+        (F.round("ep99", 6) + z).alias("ep99"))
     return (_tf_pad(corr, "corr")
             .unionByName(_tf_pad(twa, "twa"))
             .unionByName(_tf_pad(hb, "heartbeat"))
@@ -1053,7 +1076,8 @@ def q_tier_families_1d(spark, sf_dir):
             .unionByName(_tf_pad(hist, "hist"))
             .unionByName(_tf_pad(st, "state"))
             .unionByName(_tf_pad(cnd, "candle"))
-            .unionByName(_tf_pad(ac, "autocorr")))
+            .unionByName(_tf_pad(ac, "autocorr"))
+            .unionByName(_tf_pad(exp, "exphist")))
 
 
 def _tf_nulls(*names: str) -> str:
@@ -1078,6 +1102,7 @@ _TF_STATE_NAMES = ("first_s", "last_s", "ms_user", "ms_assistant",
 _TF_CANDLE_NAMES = ("open", "close", "high", "low", "cvsum", "cvol",
                     "pvsum", "change", "spread", "vavg", "vwap", "gap")
 _TF_AC_NAMES = ("sadj", "n_pairs", "mean", "var_pop", "lag1")
+_TF_EXP_NAMES = ("ep50", "ep90", "ep99")
 
 
 def _tier_families_sql() -> str:
@@ -1100,6 +1125,25 @@ def _tier_families_sql() -> str:
     def pq(q: float, x: str, alias: str) -> str:
         return (f"round(CASE WHEN {q} * t.n <= t.below THEN {lo}\n"
                 f"                  ELSE coalesce(q.{x}, {hi}) END, 6)"
+                f" + 0.0 AS {alias}")
+
+    # exponential-histogram twins: bucket edges 2^i are exact doubles
+    # built by integer shifts (never pow()); the crossing rule and the
+    # in-bucket interpolation mirror operators/exphist.py token-for-token
+    enb, ehi = EXPHIST_NBINS, float(2 ** EXPHIST_NBINS)
+
+    def exq(q: float, alias: str) -> str:
+        qn = f"{q} * t.n"
+        return (f"min(CASE WHEN u.bin >= 0 AND u.bin < {enb} AND u.c > 0\n"
+                f"                        AND u.cuma >= {qn}\n"
+                f"                        AND u.cuma - u.c < {qn}\n"
+                f"                   THEN CAST(1 << u.bin AS DOUBLE)\n"
+                f"                        + CAST(1 << u.bin AS DOUBLE)"
+                f" * ({qn} - (u.cuma - u.c)) / u.c END) AS {alias}")
+
+    def epq(q: float, x: str, alias: str) -> str:
+        return (f"round(CASE WHEN {q} * t.n <= t.below THEN 1.0\n"
+                f"                  ELSE coalesce(q.{x}, {ehi}) END, 6)"
                 f" + 0.0 AS {alias}")
     return _with_transcripts(f"""{_PTS_SQL},
 cpts AS (SELECT conv_id, epoch_ms(ts) AS ts_ms,
@@ -1386,7 +1430,37 @@ acf AS (SELECT conv_id, bucket, n, first_ts, first_v, last_ts, last_v,
                     THEN round((sadj - mu * (2 * sx - first_v - last_v)
                                 + n_pairs * mu * mu) / den, 6) + 0.0
                END AS lag1
-        FROM acm)
+        FROM acm),
+egb AS (SELECT conv_id, {day_b} AS bucket,
+               CASE WHEN v < 1 THEN -1
+                    WHEN v >= {ehi} THEN {enb}
+                    ELSE CAST(length(format('{{:b}}',
+                              CAST(floor(v) AS BIGINT))) - 1 AS INT)
+               END AS bin
+        FROM pts WHERE v IS NOT NULL),
+egc AS (SELECT conv_id, bucket, bin, count(*) AS c
+        FROM egb GROUP BY 1, 2, 3),
+egt AS (SELECT conv_id, bucket, CAST(sum(c) AS BIGINT) AS n,
+               CAST(coalesce(sum(c) FILTER (WHERE bin = -1), 0)
+                    AS BIGINT) AS below,
+               CAST(coalesce(sum(c) FILTER (WHERE bin = {enb}), 0)
+                    AS BIGINT) AS above
+        FROM egc GROUP BY 1, 2),
+egu AS (SELECT conv_id, bucket, bin, c,
+               sum(c) OVER (PARTITION BY conv_id, bucket
+                            ORDER BY bin) AS cuma
+        FROM egc),
+egq AS (SELECT u.conv_id, u.bucket,
+               {exq(0.5, "x50")},
+               {exq(0.9, "x90")},
+               {exq(0.99, "x99")}
+        FROM egu u JOIN egt t USING (conv_id, bucket)
+        GROUP BY 1, 2),
+egf AS (SELECT t.conv_id, t.bucket, t.n, t.below, t.above,
+               {epq(0.5, "x50", "ep50")},
+               {epq(0.9, "x90", "ep90")},
+               {epq(0.99, "x99", "ep99")}
+        FROM egt t JOIN egq q USING (conv_id, bucket))
 SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        round((n * sxy - sx * sy) / (n * n), 6) + 0.0 AS cov,
        CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
@@ -1409,7 +1483,8 @@ SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        {_tf_nulls(*_TF_HIST_NAMES)},
        {_tf_nulls(*_TF_STATE_NAMES)},
        {_tf_nulls(*_TF_CANDLE_NAMES)},
-       {_tf_nulls(*_TF_AC_NAMES)}
+       {_tf_nulls(*_TF_AC_NAMES)},
+       {_tf_nulls(*_TF_EXP_NAMES)}
 FROM ct
 UNION ALL
 SELECT 'twa', conv_id, bucket, n,
@@ -1421,7 +1496,8 @@ SELECT 'twa', conv_id, bucket, n,
        {_tf_nulls(*_TF_HIST_NAMES)},
        {_tf_nulls(*_TF_STATE_NAMES)},
        {_tf_nulls(*_TF_CANDLE_NAMES)},
-       {_tf_nulls(*_TF_AC_NAMES)}
+       {_tf_nulls(*_TF_AC_NAMES)},
+       {_tf_nulls(*_TF_EXP_NAMES)}
 FROM tf
 UNION ALL
 SELECT 'heartbeat', conv_id, bucket, n,
@@ -1436,7 +1512,8 @@ SELECT 'heartbeat', conv_id, bucket, n,
        {_tf_nulls(*_TF_HIST_NAMES)},
        {_tf_nulls(*_TF_STATE_NAMES)},
        {_tf_nulls(*_TF_CANDLE_NAMES)},
-       {_tf_nulls(*_TF_AC_NAMES)}
+       {_tf_nulls(*_TF_AC_NAMES)},
+       {_tf_nulls(*_TF_EXP_NAMES)}
 FROM hbf
 UNION ALL
 SELECT 'rate', conv_id, bucket, n,
@@ -1450,7 +1527,8 @@ SELECT 'rate', conv_id, bucket, n,
        {_tf_nulls(*_TF_HIST_NAMES)},
        {_tf_nulls(*_TF_STATE_NAMES)},
        {_tf_nulls(*_TF_CANDLE_NAMES)},
-       {_tf_nulls(*_TF_AC_NAMES)}
+       {_tf_nulls(*_TF_AC_NAMES)},
+       {_tf_nulls(*_TF_EXP_NAMES)}
 FROM rf
 UNION ALL
 SELECT 'hist', conv_id, bucket, n,
@@ -1462,7 +1540,8 @@ SELECT 'hist', conv_id, bucket, n,
        below, above, p50, p90, p99,
        {_tf_nulls(*_TF_STATE_NAMES)},
        {_tf_nulls(*_TF_CANDLE_NAMES)},
-       {_tf_nulls(*_TF_AC_NAMES)}
+       {_tf_nulls(*_TF_AC_NAMES)},
+       {_tf_nulls(*_TF_EXP_NAMES)}
 FROM hgf
 UNION ALL
 SELECT 'state', conv_id, bucket, n,
@@ -1482,7 +1561,8 @@ SELECT 'state', conv_id, bucket, n,
        ms_interp_user, ms_interp_assistant, ms_interp_tool,
        dominant_interp, trans,
        {_tf_nulls(*_TF_CANDLE_NAMES)},
-       {_tf_nulls(*_TF_AC_NAMES)}
+       {_tf_nulls(*_TF_AC_NAMES)},
+       {_tf_nulls(*_TF_EXP_NAMES)}
 FROM ssf
 UNION ALL
 SELECT 'candle', conv_id, bucket, n,
@@ -1495,7 +1575,8 @@ SELECT 'candle', conv_id, bucket, n,
        {_tf_nulls(*_TF_STATE_NAMES)},
        open, close, high, low, cvsum, cvol, pvsum, change, spread,
        vavg, vwap, gap,
-       {_tf_nulls(*_TF_AC_NAMES)}
+       {_tf_nulls(*_TF_AC_NAMES)},
+       {_tf_nulls(*_TF_EXP_NAMES)}
 FROM cnf
 UNION ALL
 SELECT 'autocorr', conv_id, bucket, n,
@@ -1511,8 +1592,23 @@ SELECT 'autocorr', conv_id, bucket, n,
        {_tf_nulls(*_TF_HIST_NAMES)},
        {_tf_nulls(*_TF_STATE_NAMES)},
        {_tf_nulls(*_TF_CANDLE_NAMES)},
-       sadj, n_pairs, mean, var_pop, lag1
-FROM acf""")
+       sadj, n_pairs, mean, var_pop, lag1,
+       {_tf_nulls(*_TF_EXP_NAMES)}
+FROM acf
+UNION ALL
+SELECT 'exphist', conv_id, bucket, n,
+       {_tf_nulls(*_TF_CORR_NAMES)},
+       {_tf_nulls("first_ts", "last_ts")},
+       {_tf_nulls(*_TF_TWA_NAMES)},
+       {_tf_nulls(*_TF_HB_NAMES)},
+       {_tf_nulls(*_TF_RATE_NAMES)},
+       below, above,
+       {_tf_nulls("p50", "p90", "p99")},
+       {_tf_nulls(*_TF_STATE_NAMES)},
+       {_tf_nulls(*_TF_CANDLE_NAMES)},
+       {_tf_nulls(*_TF_AC_NAMES)},
+       ep50, ep90, ep99
+FROM egf""")
 
 
 def q_codec_roundtrip_variants(spark, sf_dir):

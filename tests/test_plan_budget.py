@@ -72,10 +72,12 @@ EXCHANGE_BUDGET = {
     # the autocorr family is invalidation-rebuild shaped but its
     # adjacency window and groupBy share the twa branch's partitioning,
     # costing 6 more (build, rebuild, cascade + the refresh broadcast
-    # pair — measured 54 with eight).
+    # pair — measured 54 with eight); the exponential histogram is
+    # distributive like hist (+3: build + delta-merge + cascade
+    # groupBys, quantile serve adds none — measured 57 with nine).
     # The PRODUCTION family plans (plain build + cascade) are pinned
     # separately in test_family_production_plans below.
-    "tier_families_1d": 54,
+    "tier_families_1d": 57,
     # derivation + encode (conv,day,seq) shuffle; the zone-map prune is
     # a scan-side filter, never an exchange
     "value_scan": 3,
@@ -192,7 +194,7 @@ def test_maintenance_operator_plans(spark):
 
 
 def test_family_production_plans(spark):
-    """PRODUCTION plan shape of the eight tier families (plain build +
+    """PRODUCTION plan shape of the nine tier families (plain build +
     cascade — what a cluster actually runs; the registry gate wraps
     them in the refresh harness): each family must plan at most 3
     exchanges (derivation + one series window/groupBy chain that
@@ -202,6 +204,9 @@ def test_family_production_plans(spark):
 
     from gorilla_tsc_spark.operators.autocorr import (autocorr_tier,
                                                       cascade_autocorr_tier)
+    from gorilla_tsc_spark.operators.exphist import (cascade_exphist_tier,
+                                                     exphist_estimates,
+                                                     exphist_tier)
     from gorilla_tsc_spark.operators.correlate import (cascade_corr_tier,
                                                        corr_tier)
     from gorilla_tsc_spark.operators.heartbeat import (
@@ -255,6 +260,9 @@ def test_family_production_plans(spark):
                                           HOUR_MS, DAY_MS),
             "autocorr": cascade_autocorr_tier(autocorr_tier(pts, HOUR_MS),
                                               HOUR_MS, DAY_MS),
+            "exphist": exphist_estimates(
+                cascade_exphist_tier(exphist_tier(pts, HOUR_MS, 9),
+                                     HOUR_MS, DAY_MS, 9), 9),
         }
         for name, df in cases.items():
             plan = df._jdf.queryExecution().executedPlan().toString()
