@@ -368,6 +368,19 @@ def main() -> None:
 
     run("autocorr_tier_1h_1d", autocorr_tier_bench)
 
+    from gorilla_tsc_spark.operators.exphist import (cascade_exphist_tier,
+                                                     exphist_estimates,
+                                                     exphist_tier)
+
+    def exphist_tier_bench():
+        pts = Q._len_points(spark, sf_dir)
+        tier = exphist_tier(pts, HOUR_MS, Q.EXPHIST_NBINS)
+        stats["exphist_1d_buckets"] = exphist_estimates(
+            cascade_exphist_tier(tier, HOUR_MS, DAY_MS, Q.EXPHIST_NBINS),
+            Q.EXPHIST_NBINS).count()
+
+    run("exphist_tier_1h_1d", exphist_tier_bench)
+
     from gorilla_tsc_spark.operators.rollup import rollup_points
     from gorilla_tsc_spark.operators.smoothing import ewma_serve
 

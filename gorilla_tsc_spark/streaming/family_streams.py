@@ -41,6 +41,11 @@ Lag-1 autocorrelation (operators/autocorr.py) is the time-weight class
 — the adjacency-product walk is order-dependent within the bucket — so
 `stream_autocorr_tier` reuses the buffer-and-seal shape; all sums are
 integer-valued-double arithmetic, so the sealed row bit-equals batch.
+
+The exponential histogram (operators/exphist.py) is the corr/hist
+class — bin counts are order-insensitive sums — so
+`stream_exphist_tier` is a watermarked windowed aggregation, bit-equal
+to the batch build.
 """
 from __future__ import annotations
 
@@ -96,6 +101,31 @@ def stream_hist_tier(points_stream: DataFrame, lo: float, width: float,
            .select("conv_id", F.col("ts").cast("timestamp").alias("ts"),
                    v.alias("v")))
     b = _bin_expr(F.col("v"), lo, width, nbins)
+    agg = (pts.withWatermark("ts", watermark)
+           .groupBy("conv_id", F.window("ts", window).alias("w"))
+           .agg(*_hist_aggs(b, nbins)))
+    return agg.select("conv_id",
+                      F.unix_millis(F.col("w.start")).alias("bucket"),
+                      "n", "below", "above", "counts")
+
+
+def stream_exphist_tier(points_stream: DataFrame, nbins: int,
+                        window: str = "1 hour",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Point stream (conv_id, ts, v) → watermark-sealed exponential-
+    histogram tier rows, bit-equal to the batch `exphist_tier` at the
+    same grain: every component (n, below, above, each power-of-two
+    bin count) is a sum, exact in any arrival order — pure JVM,
+    append mode, no state operator."""
+    from ..operators.exphist import _exp_bin_expr
+    from ..operators.histogram import _hist_aggs
+
+    v = F.col("v").cast("double")
+    pts = (points_stream
+           .where(v.isNotNull())
+           .select("conv_id", F.col("ts").cast("timestamp").alias("ts"),
+                   v.alias("v")))
+    b = _exp_bin_expr(F.col("v"), nbins)
     agg = (pts.withWatermark("ts", watermark)
            .groupBy("conv_id", F.window("ts", window).alias("w"))
            .agg(*_hist_aggs(b, nbins)))

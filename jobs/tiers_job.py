@@ -2,9 +2,9 @@
 block-store warehouse: cross-channel correlation, time-weighted
 average, heartbeat/uptime, (optionally) counter rate, (optionally)
 a fixed-bin histogram, (optionally) state-duration, (optionally)
-an OHLCV candle, and (optionally) a lag-1 autocorrelation tier — each
-at a fine grain plus one cascaded coarse grain, written as parquet
-tier tables under --out.
+an OHLCV candle, (optionally) a lag-1 autocorrelation tier, and
+(optionally) an exponential histogram — each at a fine grain plus one
+cascaded coarse grain, written as parquet tier tables under --out.
 
 Decode happens ONCE (all families share the exploded points),
 optionally narrowed to the channels actually used; every downstream
@@ -18,7 +18,7 @@ Usage (cluster):
         [--hist-band 24:4:16]  # lo:width:nbins over the twa channel \\
         [--state-channel phase --nstates 4] \\
         [--candle-channel len [--candle-vol-channel words]] \\
-        [--autocorr-channel len] \\
+        [--autocorr-channel len] [--exphist-nbins 12] \\
         [--hb-ms 300000] [--bucket-ms 3600000] [--coarse-ms 86400000]
 
 Usage (sandbox):
@@ -65,6 +65,10 @@ def main() -> None:
     ap.add_argument("--autocorr-channel", default=None,
                     help="channel for the lag-1 autocorrelation tier; "
                          "omitted = skip the autocorr family")
+    ap.add_argument("--exphist-nbins", type=int, default=None,
+                    help="power-of-two bucket count for the exponential "
+                         "histogram over the twa channel (band "
+                         "[1, 2^nbins)); omitted = skip the family")
     ap.add_argument("--hb-ms", type=int, default=5 * 60_000)
     ap.add_argument("--bucket-ms", type=int, default=3_600_000)
     ap.add_argument("--coarse-ms", type=int, default=86_400_000)
@@ -218,6 +222,18 @@ def main() -> None:
         write("candle_coarse", cascade_candle_tier(
             spark.read.parquet(os.path.join(args.out, "candle_fine")),
             args.bucket_ms, args.coarse_ms))
+
+    # exponential histogram over the twa channel, when a bucket count
+    # is declared (band [1, 2^nbins) — the unbounded-range complement
+    # to --hist-band's fixed linear band)
+    if args.exphist_nbins:
+        from gorilla_tsc_spark.operators.exphist import (
+            cascade_exphist_tier, exphist_tier)
+        write("exphist_fine", exphist_tier(twa_pts, args.bucket_ms,
+                                           args.exphist_nbins))
+        write("exphist_coarse", cascade_exphist_tier(
+            spark.read.parquet(os.path.join(args.out, "exphist_fine")),
+            args.bucket_ms, args.coarse_ms, args.exphist_nbins))
 
     # lag-1 autocorrelation (smoothness/compressibility regime) over a
     # declared channel, when requested

@@ -211,9 +211,11 @@ def test_stream_corr_and_twa_match_batch(spark, transcripts_dir, tmp_path):
     from gorilla_tsc_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
     from gorilla_tsc_spark.operators.autocorr import autocorr_tier
     from gorilla_tsc_spark.operators.candle import candle_tier
+    from gorilla_tsc_spark.operators.exphist import exphist_tier
     from gorilla_tsc_spark.streaming import (stream_autocorr_tier,
                                              stream_candle_tier,
                                              stream_corr_tier,
+                                             stream_exphist_tier,
                                              stream_hist_tier,
                                              stream_state_tier,
                                              stream_twa_tier)
@@ -278,6 +280,13 @@ def test_stream_corr_and_twa_match_batch(spark, transcripts_dir, tmp_path):
          autocorr_tier(batch_t.select(
              "conv_id", F.unix_millis("ts").alias("ts_ms"),
              F.length("text").cast("double").alias("v")), HOUR_MS)),
+        ("exphist_stream",
+         stream_exphist_tier(stream.select(
+             "conv_id", "ts", F.length("text").cast("double").alias("v")),
+             9, window="1 hour"),
+         exphist_tier(batch_t.select(
+             "conv_id", F.unix_millis("ts").alias("ts_ms"),
+             F.length("text").cast("double").alias("v")), HOUR_MS, 9)),
     ):
         q = (out.writeStream.format("memory").queryName(name)
              .outputMode("append")

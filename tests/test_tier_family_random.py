@@ -1,6 +1,6 @@
 """Randomized adversarial-shape gate for the round-4/5 tier families
 (correlate / timeweight / heartbeat / rate / histogram / state /
-candle / autocorr): per
+candle / autocorr / exphist): per
 seed, a
 synthetic corpus with
 timestamp TIES, multi-day silences, bursts, and singleton series —
@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 from gorilla_tsc_spark.operators.autocorr import (autocorr_tier,
                                                   cascade_autocorr_tier,
                                                   refresh_autocorr_tier)
+from gorilla_tsc_spark.operators.exphist import (cascade_exphist_tier,
+                                                 exphist_tier,
+                                                 refresh_exphist_tier)
 from gorilla_tsc_spark.operators.candle import (candle_tier,
                                                 cascade_candle_tier,
                                                 refresh_candle_tier)
@@ -196,6 +199,21 @@ def test_family_laws_on_adversarial_corpora(spark):
                 candle_tier(on_v, HOUR_MS, vol_col="vol"),
                 late_v, HOUR_MS, vol_col="vol"), kcols),
             _key(fine, kcols), f"candle refresh seed={seed}")
+
+        # --- exponential histogram: same distributive vector-sum laws
+        # as the fixed-bin family, under the power-of-two bin rule
+        pv = pts.withColumnRenamed("x", "v")
+        fine = exphist_tier(pv, HOUR_MS, 9)
+        _assert_close(
+            _key(cascade_exphist_tier(fine, HOUR_MS, DAY_MS, 9), gcols),
+            _key(exphist_tier(pv, DAY_MS, 9), gcols),
+            f"exphist cascade seed={seed}")
+        _assert_close(
+            _key(refresh_exphist_tier(
+                exphist_tier(on_time.withColumnRenamed("x", "v"),
+                             HOUR_MS, 9),
+                late.withColumnRenamed("x", "v"), HOUR_MS, 9), gcols),
+            _key(fine, gcols), f"exphist refresh seed={seed}")
 
         # --- autocorr: seam products; n_pairs = n − 1 contiguity must
         # survive every merge even with ties and multi-day silences

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from gorilla_tsc_spark.operators.autocorr import autocorr_tier
 from gorilla_tsc_spark.operators.candle import candle_tier
+from gorilla_tsc_spark.operators.exphist import exphist_tier
 from gorilla_tsc_spark.operators.correlate import corr_tier
 from gorilla_tsc_spark.operators.encode import (block_value_column,
                                                 decode_blocks)
@@ -44,7 +45,7 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
         "--rate-channel", "len", "--hist-band", "24:4:16",
         "--state-channel", "role_idx", "--nstates", "3",
         "--candle-channel", "len", "--candle-vol-channel", "words",
-        "--autocorr-channel", "len"])
+        "--autocorr-channel", "len", "--exphist-nbins", "9"])
     # the job ends with spark.stop(); it shares the pytest session via
     # getOrCreate, so neuter stop for the in-process invocation
     monkeypatch.setattr(SparkSession, "stop", lambda self: None)
@@ -93,9 +94,13 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
             == _rows(candle_tier(cpts, HOUR_MS, vol_col="vol")))
     assert (_rows(spark.read.parquet(f"{out}/autocorr_fine"))
             == _rows(autocorr_tier(lenpts, HOUR_MS)))
+    assert (_rows(spark.read.parquet(f"{out}/exphist_fine")
+                  .withColumn("counts", F.col("counts").cast("string")))
+            == _rows(exphist_tier(lenpts, HOUR_MS, 9)
+                     .withColumn("counts", F.col("counts").cast("string"))))
     for name in ("corr_coarse", "twa_coarse", "hb_coarse", "rate_coarse",
                  "hist_coarse", "state_coarse", "candle_coarse",
-                 "autocorr_coarse"):
+                 "autocorr_coarse", "exphist_coarse"):
         assert counters[name] > 0
 
     # the job's output is SQL-addressable via register_tier_views, and
