@@ -108,6 +108,34 @@ def _exp_quantile_expr(q: float, nbins: int):
             .otherwise(F.coalesce(folded["res"], F.lit(hi))))
 
 
+def exphist_fraction_above(tier: DataFrame, threshold: float, nbins: int,
+                           name: str = "frac_above") -> DataFrame:
+    """Serve: fraction of observations >= threshold per tier row — the
+    SLO-burn primitive over exponential buckets.  Exact when the
+    threshold is a power of two; linearly interpolated inside the
+    straddled bucket otherwise (the quantile serve's convention,
+    inverted).  A threshold below 1 attributes the `below` mass to
+    < threshold; at/past 2^nbins only `above` counts.  Row-local
+    arithmetic, no shuffle."""
+    hi = float(2 ** nbins)
+    n = F.col("n").cast("double")
+    above = F.col("above").cast("double")
+    if threshold <= 1.0:
+        cnt = n - F.col("below").cast("double")
+    elif threshold >= hi:
+        cnt = above
+    else:
+        k = min(int(threshold).bit_length() - 1, nbins - 1)
+        blo = float(1 << k)
+        part = (2.0 * blo - threshold) / blo
+        tail = (F.aggregate(F.slice("counts", k + 2, nbins - k - 1),
+                            F.lit(0).cast("long"), lambda a, x: a + x)
+                .cast("double") if k + 1 < nbins else F.lit(0.0))
+        cnt = (F.element_at("counts", k + 1).cast("double")
+               * F.lit(float(part)) + tail + above)
+    return tier.withColumn(name, cnt / n)
+
+
 def exphist_estimates(tier: DataFrame, nbins: int,
                       quantiles=((0.5, "ep50"), (0.9, "ep90"),
                                  (0.99, "ep99"))) -> DataFrame:

@@ -97,3 +97,26 @@ def test_exp_overflow_clamps(spark):
     assert est["below"] == 10 and est["above"] == 10
     assert est["ep50"] == 1.0          # rank inside the underflow mass
     assert est["ep99"] == float(2 ** NB)  # rank past the band
+
+
+def test_exp_fraction_above(spark):
+    from gorilla_tsc_spark.operators.exphist import exphist_fraction_above
+
+    # 20 points: 10 at v=2 (bin 1), 10 at v=6 (bin 2)
+    rows = [("f", i, 2.0) for i in range(10)] + \
+           [("f", 100 + i, 6.0) for i in range(10)]
+    tier = exphist_tier(_pts(spark, rows), DAY_MS, NB)
+    # power-of-two threshold: exact — everything in bins >= 2 counts
+    r4 = exphist_fraction_above(tier, 4.0, NB).collect()[0]
+    assert math.isclose(r4["frac_above"], 0.5)
+    # mid-bucket threshold 6 straddles bin 2 [4, 8): the bin's 10
+    # points contribute the (8-6)/4 = 0.5 interpolated share
+    r6 = exphist_fraction_above(tier, 6.0, NB).collect()[0]
+    assert math.isclose(r6["frac_above"], (10 * 0.5) / 20)
+    # below-band and past-band clamps
+    assert math.isclose(
+        exphist_fraction_above(tier, 0.5, NB).collect()[0]["frac_above"],
+        1.0)
+    assert math.isclose(
+        exphist_fraction_above(tier, 4096.0, NB).collect()[0]["frac_above"],
+        0.0)
