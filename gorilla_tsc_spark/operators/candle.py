@@ -9,11 +9,16 @@ numeric channel here.
 The per-bucket summary is EXACTLY mergeable and — unlike the LOCF
 families — fully DISTRIBUTIVE over point sets:
 
-    (n, first_ts, open, last_ts, close, high, low, vsum[, vol, pvsum])
+    (n, first_ts, open, last_ts, close, high, high_ts, low, low_ts,
+     vsum[, vol, pvsum])
 
 open/close are the values at the bucket's first/last timestamp (ties on
 ts_ms break by value — the (ts, v) rule every order-dependent family
-here uses), high/low/vsum are plain max/min/sum.  Merging two summaries
+here uses), high/low/vsum are plain max/min/sum, and high_ts/low_ts
+record WHEN the extremes happened (TimescaleDB's high_at/low_at —
+public docs): the timestamp of the max/min (v, ts) pair, ties on v
+resolved to the latest/earliest occurrence respectively — themselves
+plain max_by/min_by aggregates, so the family stays distributive.  Merging two summaries
 of the same bucket needs no seam term at all: take the open of the
 earlier first_ts (tie: the smaller open), the close of the later
 last_ts, and sum/min/max the rest.  So the cascade is one groupBy and
@@ -38,7 +43,7 @@ from pyspark.sql import functions as F
 from .rollup import bucket_col
 
 SUMMARY_COLS = ("n", "first_ts", "open", "last_ts", "close", "high",
-                "low", "vsum")
+                "high_ts", "low", "low_ts", "vsum")
 VOL_COLS = ("vol", "pvsum")
 
 
@@ -49,7 +54,11 @@ def _build_aggs(v, order, vol):
             F.max("ts_ms").alias("last_ts"),
             F.max_by(v, order).alias("close"),
             F.max(v).alias("high"),
+            F.max_by("ts_ms", F.struct(v.alias("v"), F.col("ts_ms")))
+            .alias("high_ts"),
             F.min(v).alias("low"),
+            F.min_by("ts_ms", F.struct(v.alias("v"), F.col("ts_ms")))
+            .alias("low_ts"),
             F.sum(v).alias("vsum")]
     if vol is not None:
         aggs += [F.sum(vol).alias("vol"),
@@ -87,7 +96,11 @@ def _merge_aggs(has_vol: bool):
             F.max("last_ts").alias("last_ts"),
             F.max_by("close", F.struct("last_ts", "close")).alias("close"),
             F.max("high").alias("high"),
+            F.max_by("high_ts", F.struct("high", "high_ts"))
+            .alias("high_ts"),
             F.min("low").alias("low"),
+            F.min_by("low_ts", F.struct("low", "low_ts"))
+            .alias("low_ts"),
             F.sum("vsum").alias("vsum")]
     if has_vol:
         aggs += [F.sum("vol").alias("vol"), F.sum("pvsum").alias("pvsum")]

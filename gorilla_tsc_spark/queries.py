@@ -863,7 +863,8 @@ _TF_COLS = (
     # OHLCV candlestick (operators/candle.py); n, first_ts/last_ts
     # shared — v is the len channel, volume the token-count channel
     ("open", "double"), ("close", "double"),
-    ("high", "double"), ("low", "double"), ("cvsum", "double"),
+    ("high", "double"), ("low", "double"),
+    ("high_ts", "long"), ("low_ts", "long"), ("cvsum", "double"),
     ("cvol", "double"), ("pvsum", "double"),
     ("change", "double"), ("spread", "double"),
     ("vavg", "double"), ("vwap", "double"), ("gap", "double"),
@@ -1046,7 +1047,8 @@ def q_tier_families_1d(spark, sf_dir):
     cnd = candle_estimates(candle_gap_estimates(
         cascade_candle_tier(cnd_fine, HOUR_MS, DAY_MS))).select(
         "conv_id", "bucket", "n", "first_ts", "last_ts", "open",
-        "close", "high", "low", F.col("vsum").alias("cvsum"),
+        "close", "high", "low", "high_ts", "low_ts",
+        F.col("vsum").alias("cvsum"),
         F.col("vol").alias("cvol"), "pvsum", "change", "spread",
         (F.round("vavg", 6) + z).alias("vavg"),
         (F.round("vwap", 6) + z).alias("vwap"), "gap")
@@ -1099,8 +1101,9 @@ _TF_STATE_NAMES = ("first_s", "last_s", "ms_user", "ms_assistant",
                    "ms_tool", "dominant", "ms_interp_user",
                    "ms_interp_assistant", "ms_interp_tool",
                    "dominant_interp", "trans")
-_TF_CANDLE_NAMES = ("open", "close", "high", "low", "cvsum", "cvol",
-                    "pvsum", "change", "spread", "vavg", "vwap", "gap")
+_TF_CANDLE_NAMES = ("open", "close", "high", "low", "high_ts", "low_ts",
+                    "cvsum", "cvol", "pvsum", "change", "spread", "vavg",
+                    "vwap", "gap")
 _TF_AC_NAMES = ("sadj", "n_pairs", "mean", "var_pop", "lag1")
 _TF_EXP_NAMES = ("ep50", "ep90", "ep99")
 
@@ -1377,21 +1380,35 @@ ssf AS (SELECT conv_id, bucket, n, first_ts, first_s, last_ts, last_s,
                trans
         FROM ssj),
 cno AS (SELECT conv_id, ts_ms, x AS v, y AS vol, {day_b} AS bucket,
-               first_value(x) OVER cpb AS ov, last_value(x) OVER cpb AS cv
+               first_value(x) OVER cpb AS ov, last_value(x) OVER cpb AS cv,
+               first_value(ts_ms) OVER chw AS hts,
+               first_value(ts_ms) OVER clw AS lts
         FROM cpts WHERE x IS NOT NULL
         WINDOW cpb AS (PARTITION BY conv_id,
                                     CAST(floor(ts_ms / {d}) AS BIGINT)
                        ORDER BY ts_ms, x
                        ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING),
+               chw AS (PARTITION BY conv_id,
+                                    CAST(floor(ts_ms / {d}) AS BIGINT)
+                       ORDER BY x DESC, ts_ms DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING),
+               clw AS (PARTITION BY conv_id,
+                                    CAST(floor(ts_ms / {d}) AS BIGINT)
+                       ORDER BY x ASC, ts_ms ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
                             AND UNBOUNDED FOLLOWING)),
 cnt2 AS (SELECT conv_id, bucket, count(*) AS n,
                 min(ts_ms) AS first_ts, max(ts_ms) AS last_ts,
                 min(ov) AS open, min(cv) AS close,
-                max(v) AS high, min(v) AS low, sum(v) AS cvsum,
+                max(v) AS high, min(v) AS low,
+                CAST(min(hts) AS BIGINT) AS high_ts,
+                CAST(min(lts) AS BIGINT) AS low_ts, sum(v) AS cvsum,
                 sum(vol) AS cvol, sum(v * vol) AS pvsum
          FROM cno GROUP BY 1, 2),
 cnf AS (SELECT conv_id, bucket, n, first_ts, last_ts, open, close,
-               high, low, cvsum, cvol, pvsum,
+               high, low, high_ts, low_ts, cvsum, cvol, pvsum,
                close - open AS change, high - low AS spread,
                round(cvsum / n, 6) + 0.0 AS vavg,
                CASE WHEN cvol <> 0
@@ -1573,7 +1590,8 @@ SELECT 'candle', conv_id, bucket, n,
        {_tf_nulls(*_TF_RATE_NAMES)},
        {_tf_nulls(*_TF_HIST_NAMES)},
        {_tf_nulls(*_TF_STATE_NAMES)},
-       open, close, high, low, cvsum, cvol, pvsum, change, spread,
+       open, close, high, low, high_ts, low_ts,
+       cvsum, cvol, pvsum, change, spread,
        vavg, vwap, gap,
        {_tf_nulls(*_TF_AC_NAMES)},
        {_tf_nulls(*_TF_EXP_NAMES)}
