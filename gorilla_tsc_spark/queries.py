@@ -875,6 +875,13 @@ _TF_COLS = (
     # exponential histogram (operators/exphist.py); n/below/above
     # shared with the fixed-bin hist group above
     ("ep50", "double"), ("ep90", "double"), ("ep99", "double"),
+    # linear trend (operators/trend.py); n, first_ts/last_ts shared —
+    # x-sums are exact int64 (bucket-relative minute offsets), value
+    # sums integer-valued doubles
+    ("tsx", "long"), ("tsv", "double"), ("tsxx", "long"),
+    ("tsvv", "double"), ("tsxv", "double"),
+    ("tmean", "double"), ("tslope", "double"),
+    ("tintercept", "double"), ("tr2", "double"),
 )
 
 
@@ -931,7 +938,13 @@ def q_tier_families_1d(spark, sf_dir):
     The exphist branch (round-5 fourteenth family) pins the exponential
     power-of-two binning — bit-length integer arithmetic, no float log
     — through the shared vector-sum merge, plus its quantile serve with
-    exact shift-built bucket edges (6dp)."""
+    exact shift-built bucket edges (6dp).  The trend branch (round-5
+    fifteenth family) pins the bucket-relative-minute x-origin SHIFT
+    algebra through the 1h→1d cascade (the oracle builds 1d direct, so
+    Σx/Σx²/Σxv arriving via the shift identities must hash-match the
+    direct sums unrounded — int64 x-sums, integer-valued-double value
+    sums) plus the served OLS slope/intercept/r² via token-for-token
+    mirrored staged intermediates (covn2/den/denv, 6dp)."""
     from .operators.correlate import (cascade_corr_tier, corr_estimates,
                                       corr_tier, refresh_corr_tier)
     from .operators.histogram import (cascade_hist_tier, hist_estimates,
@@ -960,6 +973,8 @@ def q_tier_families_1d(spark, sf_dir):
     from .operators.timeweight import (cascade_twa_tier, refresh_twa_tier,
                                        twa_estimates,
                                        twa_interpolated_estimates, twa_tier)
+    from .operators.trend import (cascade_trend_tier, refresh_trend_tier,
+                                  trend_estimates, trend_tier)
     late_pred = F.xxhash64("conv_id", "ts_ms") % 4 == 0
 
     t = _transcripts(spark, sf_dir)
@@ -1071,6 +1086,18 @@ def q_tier_families_1d(spark, sf_dir):
         (F.round("ep50", 6) + z).alias("ep50"),
         (F.round("ep90", 6) + z).alias("ep90"),
         (F.round("ep99", 6) + z).alias("ep99"))
+    tr_fine = refresh_trend_tier(trend_tier(on_time, HOUR_MS), late,
+                                 HOUR_MS)
+    tr = trend_estimates(
+        cascade_trend_tier(tr_fine, HOUR_MS, DAY_MS)).select(
+        "conv_id", "bucket", "n", "first_ts", "last_ts",
+        F.col("sx").alias("tsx"), F.col("sv").alias("tsv"),
+        F.col("sxx").alias("tsxx"), F.col("svv").alias("tsvv"),
+        F.col("sxv").alias("tsxv"),
+        (F.round("tmean", 6) + z).alias("tmean"),
+        (F.round("tslope", 6) + z).alias("tslope"),
+        (F.round("tintercept", 6) + z).alias("tintercept"),
+        (F.round("tr2", 6) + z).alias("tr2"))
     return (_tf_pad(corr, "corr")
             .unionByName(_tf_pad(twa, "twa"))
             .unionByName(_tf_pad(hb, "heartbeat"))
@@ -1079,7 +1106,8 @@ def q_tier_families_1d(spark, sf_dir):
             .unionByName(_tf_pad(st, "state"))
             .unionByName(_tf_pad(cnd, "candle"))
             .unionByName(_tf_pad(ac, "autocorr"))
-            .unionByName(_tf_pad(exp, "exphist")))
+            .unionByName(_tf_pad(exp, "exphist"))
+            .unionByName(_tf_pad(tr, "trend")))
 
 
 def _tf_nulls(*names: str) -> str:
@@ -1106,6 +1134,8 @@ _TF_CANDLE_NAMES = ("open", "close", "high", "low", "high_ts", "low_ts",
                     "vwap", "gap")
 _TF_AC_NAMES = ("sadj", "n_pairs", "mean", "var_pop", "lag1")
 _TF_EXP_NAMES = ("ep50", "ep90", "ep99")
+_TF_TREND_NAMES = ("tsx", "tsv", "tsxx", "tsvv", "tsxv", "tmean",
+                   "tslope", "tintercept", "tr2")
 
 
 def _tier_families_sql() -> str:
@@ -1477,7 +1507,36 @@ egf AS (SELECT t.conv_id, t.bucket, t.n, t.below, t.above,
                {epq(0.5, "x50", "ep50")},
                {epq(0.9, "x90", "ep90")},
                {epq(0.99, "x99", "ep99")}
-        FROM egt t JOIN egq q USING (conv_id, bucket))
+        FROM egt t JOIN egq q USING (conv_id, bucket)),
+tdp AS (SELECT conv_id, ts_ms, v, {day_b} AS bucket,
+               CAST(floor((ts_ms % {d}) / 60000) AS BIGINT) AS xm
+        FROM pts WHERE v IS NOT NULL),
+tdt AS (SELECT conv_id, bucket, count(*) AS n,
+               min(ts_ms) AS first_ts, max(ts_ms) AS last_ts,
+               CAST(sum(xm) AS BIGINT) AS tsx, sum(v) AS tsv,
+               CAST(sum(xm * xm) AS BIGINT) AS tsxx,
+               sum(v * v) AS tsvv, sum(xm * v) AS tsxv
+        FROM tdp GROUP BY 1, 2),
+tds AS (SELECT *,
+               CAST(n AS DOUBLE) * tsxv
+               - CAST(tsx AS DOUBLE) * tsv AS covn2,
+               CAST(n AS DOUBLE) * CAST(tsxx AS DOUBLE)
+               - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE) AS den,
+               CAST(n AS DOUBLE) * tsvv - tsv * tsv AS denv
+        FROM tdt),
+tdf AS (SELECT conv_id, bucket, n, first_ts, last_ts,
+               tsx, tsv, tsxx, tsvv, tsxv,
+               round(tsv / CAST(n AS DOUBLE), 6) + 0.0 AS tmean,
+               CASE WHEN n >= 2 AND den > 0
+                    THEN round(covn2 / den, 6) + 0.0 END AS tslope,
+               CASE WHEN n >= 2 AND den > 0
+                    THEN round((tsv - covn2 / den * CAST(tsx AS DOUBLE))
+                               / CAST(n AS DOUBLE), 6) + 0.0
+               END AS tintercept,
+               CASE WHEN n >= 2 AND den > 0 AND denv > 0
+                    THEN round(covn2 * covn2 / (den * denv), 6) + 0.0
+               END AS tr2
+        FROM tds)
 SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        round((n * sxy - sx * sy) / (n * n), 6) + 0.0 AS cov,
        CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
@@ -1501,7 +1560,8 @@ SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        {_tf_nulls(*_TF_STATE_NAMES)},
        {_tf_nulls(*_TF_CANDLE_NAMES)},
        {_tf_nulls(*_TF_AC_NAMES)},
-       {_tf_nulls(*_TF_EXP_NAMES)}
+       {_tf_nulls(*_TF_EXP_NAMES)},
+       {_tf_nulls(*_TF_TREND_NAMES)}
 FROM ct
 UNION ALL
 SELECT 'twa', conv_id, bucket, n,
@@ -1514,7 +1574,8 @@ SELECT 'twa', conv_id, bucket, n,
        {_tf_nulls(*_TF_STATE_NAMES)},
        {_tf_nulls(*_TF_CANDLE_NAMES)},
        {_tf_nulls(*_TF_AC_NAMES)},
-       {_tf_nulls(*_TF_EXP_NAMES)}
+       {_tf_nulls(*_TF_EXP_NAMES)},
+       {_tf_nulls(*_TF_TREND_NAMES)}
 FROM tf
 UNION ALL
 SELECT 'heartbeat', conv_id, bucket, n,
@@ -1530,7 +1591,8 @@ SELECT 'heartbeat', conv_id, bucket, n,
        {_tf_nulls(*_TF_STATE_NAMES)},
        {_tf_nulls(*_TF_CANDLE_NAMES)},
        {_tf_nulls(*_TF_AC_NAMES)},
-       {_tf_nulls(*_TF_EXP_NAMES)}
+       {_tf_nulls(*_TF_EXP_NAMES)},
+       {_tf_nulls(*_TF_TREND_NAMES)}
 FROM hbf
 UNION ALL
 SELECT 'rate', conv_id, bucket, n,
@@ -1545,7 +1607,8 @@ SELECT 'rate', conv_id, bucket, n,
        {_tf_nulls(*_TF_STATE_NAMES)},
        {_tf_nulls(*_TF_CANDLE_NAMES)},
        {_tf_nulls(*_TF_AC_NAMES)},
-       {_tf_nulls(*_TF_EXP_NAMES)}
+       {_tf_nulls(*_TF_EXP_NAMES)},
+       {_tf_nulls(*_TF_TREND_NAMES)}
 FROM rf
 UNION ALL
 SELECT 'hist', conv_id, bucket, n,
@@ -1558,7 +1621,8 @@ SELECT 'hist', conv_id, bucket, n,
        {_tf_nulls(*_TF_STATE_NAMES)},
        {_tf_nulls(*_TF_CANDLE_NAMES)},
        {_tf_nulls(*_TF_AC_NAMES)},
-       {_tf_nulls(*_TF_EXP_NAMES)}
+       {_tf_nulls(*_TF_EXP_NAMES)},
+       {_tf_nulls(*_TF_TREND_NAMES)}
 FROM hgf
 UNION ALL
 SELECT 'state', conv_id, bucket, n,
@@ -1579,7 +1643,8 @@ SELECT 'state', conv_id, bucket, n,
        dominant_interp, trans,
        {_tf_nulls(*_TF_CANDLE_NAMES)},
        {_tf_nulls(*_TF_AC_NAMES)},
-       {_tf_nulls(*_TF_EXP_NAMES)}
+       {_tf_nulls(*_TF_EXP_NAMES)},
+       {_tf_nulls(*_TF_TREND_NAMES)}
 FROM ssf
 UNION ALL
 SELECT 'candle', conv_id, bucket, n,
@@ -1594,7 +1659,8 @@ SELECT 'candle', conv_id, bucket, n,
        cvsum, cvol, pvsum, change, spread,
        vavg, vwap, gap,
        {_tf_nulls(*_TF_AC_NAMES)},
-       {_tf_nulls(*_TF_EXP_NAMES)}
+       {_tf_nulls(*_TF_EXP_NAMES)},
+       {_tf_nulls(*_TF_TREND_NAMES)}
 FROM cnf
 UNION ALL
 SELECT 'autocorr', conv_id, bucket, n,
@@ -1611,7 +1677,8 @@ SELECT 'autocorr', conv_id, bucket, n,
        {_tf_nulls(*_TF_STATE_NAMES)},
        {_tf_nulls(*_TF_CANDLE_NAMES)},
        sadj, n_pairs, mean, var_pop, lag1,
-       {_tf_nulls(*_TF_EXP_NAMES)}
+       {_tf_nulls(*_TF_EXP_NAMES)},
+       {_tf_nulls(*_TF_TREND_NAMES)}
 FROM acf
 UNION ALL
 SELECT 'exphist', conv_id, bucket, n,
@@ -1625,8 +1692,23 @@ SELECT 'exphist', conv_id, bucket, n,
        {_tf_nulls(*_TF_STATE_NAMES)},
        {_tf_nulls(*_TF_CANDLE_NAMES)},
        {_tf_nulls(*_TF_AC_NAMES)},
-       ep50, ep90, ep99
-FROM egf""")
+       ep50, ep90, ep99,
+       {_tf_nulls(*_TF_TREND_NAMES)}
+FROM egf
+UNION ALL
+SELECT 'trend', conv_id, bucket, n,
+       {_tf_nulls(*_TF_CORR_NAMES)},
+       first_ts, last_ts,
+       {_tf_nulls(*_TF_TWA_NAMES)},
+       {_tf_nulls(*_TF_HB_NAMES)},
+       {_tf_nulls(*_TF_RATE_NAMES)},
+       {_tf_nulls(*_TF_HIST_NAMES)},
+       {_tf_nulls(*_TF_STATE_NAMES)},
+       {_tf_nulls(*_TF_CANDLE_NAMES)},
+       {_tf_nulls(*_TF_AC_NAMES)},
+       {_tf_nulls(*_TF_EXP_NAMES)},
+       tsx, tsv, tsxx, tsvv, tsxv, tmean, tslope, tintercept, tr2
+FROM tdf""")
 
 
 def q_codec_roundtrip_variants(spark, sf_dir):

@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 
 from gorilla_tsc_spark.operators import (autocorr, candle, correlate,
                                          exphist, heartbeat, histogram,
-                                         rate, statetier, timeweight)
+                                         rate, statetier, timeweight,
+                                         trend)
 from gorilla_tsc_spark.operators.retention import (RetentionPolicy,
                                                    serve_union)
 from gorilla_tsc_spark.operators.rollup import DAY_MS, HOUR_MS, MINUTE_MS
@@ -36,6 +37,8 @@ FAMILIES = {
               "refresh_state_tier", "state_estimates"),
     "twa": (timeweight, "twa_tier", "cascade_twa_tier",
             "refresh_twa_tier", "twa_estimates"),
+    "trend": (trend, "trend_tier", "cascade_trend_tier",
+              "refresh_trend_tier", "trend_estimates"),
 }
 
 

@@ -77,7 +77,7 @@ EXCHANGE_BUDGET = {
     # groupBys, quantile serve adds none — measured 57 with nine).
     # The PRODUCTION family plans (plain build + cascade) are pinned
     # separately in test_family_production_plans below.
-    "tier_families_1d": 57,
+    "tier_families_1d": 60,
     # derivation + encode (conv,day,seq) shuffle; the zone-map prune is
     # a scan-side filter, never an exchange
     "value_scan": 3,
@@ -194,7 +194,7 @@ def test_maintenance_operator_plans(spark):
 
 
 def test_family_production_plans(spark):
-    """PRODUCTION plan shape of the nine tier families (plain build +
+    """PRODUCTION plan shape of the ten tier families (plain build +
     cascade — what a cluster actually runs; the registry gate wraps
     them in the refresh harness): each family must plan at most 3
     exchanges (derivation + one series window/groupBy chain that
@@ -222,6 +222,9 @@ def test_family_production_plans(spark):
                                                        state_tier)
     from gorilla_tsc_spark.operators.timeweight import (cascade_twa_tier,
                                                         twa_tier)
+    from gorilla_tsc_spark.operators.trend import (cascade_trend_tier,
+                                                   trend_estimates,
+                                                   trend_tier)
     from gorilla_tsc_spark.queries import (_len_points, _transcripts,
                                            synth_counter)
 
@@ -263,6 +266,9 @@ def test_family_production_plans(spark):
             "exphist": exphist_estimates(
                 cascade_exphist_tier(exphist_tier(pts, HOUR_MS, 9),
                                      HOUR_MS, DAY_MS, 9), 9),
+            "trend": trend_estimates(
+                cascade_trend_tier(trend_tier(pts, HOUR_MS),
+                                   HOUR_MS, DAY_MS)),
         }
         for name, df in cases.items():
             plan = df._jdf.queryExecution().executedPlan().toString()

@@ -1,6 +1,6 @@
 """Randomized adversarial-shape gate for the round-4/5 tier families
 (correlate / timeweight / heartbeat / rate / histogram / state /
-candle / autocorr / exphist): per
+candle / autocorr / exphist / trend): per
 seed, a
 synthetic corpus with
 timestamp TIES, multi-day silences, bursts, and singleton series —
@@ -46,6 +46,9 @@ from gorilla_tsc_spark.operators.statetier import (cascade_state_tier,
 from gorilla_tsc_spark.operators.timeweight import (cascade_twa_tier,
                                                     refresh_twa_tier,
                                                     twa_tier)
+from gorilla_tsc_spark.operators.trend import (cascade_trend_tier,
+                                               refresh_trend_tier,
+                                               trend_tier)
 
 HB = 5 * 60_000
 BASE = 1_700_000_000_000
@@ -233,6 +236,23 @@ def test_family_laws_on_adversarial_corpora(spark):
                 late.withColumnRenamed("x", "v"),
                 on_time.withColumnRenamed("x", "v"), HOUR_MS), acols),
             _key(fine, acols), f"autocorr refresh seed={seed}")
+
+        # --- trend: the x-origin shift algebra (bucket-relative
+        # minute offsets) must make the 1h→1d merge EXACTLY equal the
+        # direct 1d sums; refresh is a pure delta-merge (off = 0)
+        dcols = ("n", "first_ts", "last_ts", "sx", "sv", "sxx", "svv",
+                 "sxv")
+        pv = pts.withColumnRenamed("x", "v")
+        fine = trend_tier(pv, HOUR_MS)
+        _assert_close(
+            _key(cascade_trend_tier(fine, HOUR_MS, DAY_MS), dcols),
+            _key(trend_tier(pv, DAY_MS), dcols),
+            f"trend cascade seed={seed}")
+        _assert_close(
+            _key(refresh_trend_tier(
+                trend_tier(on_time.withColumnRenamed("x", "v"), HOUR_MS),
+                late.withColumnRenamed("x", "v"), HOUR_MS), dcols),
+            _key(fine, dcols), f"trend refresh seed={seed}")
 
         # --- heartbeat: seam gaps, interruption un-counting on refresh
         hcols = ("n", "first_ts", "last_ts", "live_ms", "max_gap_ms",
