@@ -381,6 +381,18 @@ def main() -> None:
 
     run("exphist_tier_1h_1d", exphist_tier_bench)
 
+    from gorilla_tsc_spark.operators.trend import (cascade_trend_tier,
+                                                   trend_estimates,
+                                                   trend_tier)
+
+    def trend_tier_bench():
+        pts = Q._len_points(spark, sf_dir)
+        tier = trend_tier(pts, HOUR_MS)
+        stats["trend_1d_buckets"] = trend_estimates(
+            cascade_trend_tier(tier, HOUR_MS, DAY_MS)).count()
+
+    run("trend_tier_1h_1d", trend_tier_bench)
+
     from gorilla_tsc_spark.operators.rollup import rollup_points
     from gorilla_tsc_spark.operators.smoothing import ewma_serve
 

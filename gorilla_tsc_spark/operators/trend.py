@@ -76,6 +76,20 @@ def _x_expr(ts, bucket_ms: int):
     return F.floor((ts % F.lit(bucket_ms)) / MINUTE_MS).cast("long")
 
 
+def _trend_aggs(xc, vc):
+    """The family's eight aggregate columns over an in-bucket minute
+    offset ``xc`` and a double value ``vc`` — shared by the batch
+    build and the streaming twin (all order-insensitive sums)."""
+    return [F.count(F.lit(1)).alias("n"),
+            F.min("ts_ms").alias("first_ts"),
+            F.max("ts_ms").alias("last_ts"),
+            F.sum(xc).alias("sx"),
+            F.sum(vc).alias("sv"),
+            F.sum(xc * xc).alias("sxx"),
+            F.sum(vc * vc).alias("svv"),
+            F.sum(xc * vc).alias("sxv")]
+
+
 def trend_tier(points: DataFrame, bucket_ms: int, value_col: str = "v",
                keys=("conv_id",)) -> DataFrame:
     """Build the fine-grain trend tier from (ts_ms, v) points.
@@ -88,17 +102,9 @@ def trend_tier(points: DataFrame, bucket_ms: int, value_col: str = "v",
     x = _x_expr(ts, bucket_ms)
     pts = (points.where(v.isNotNull())
            .select(*keys, ts.alias("ts_ms"), x.alias("x"), v.alias("v")))
-    xc, vc = F.col("x"), F.col("v")
     return (pts.groupBy(
         *keys, bucket_col(F.col("ts_ms"), bucket_ms).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.min("ts_ms").alias("first_ts"),
-             F.max("ts_ms").alias("last_ts"),
-             F.sum(xc).alias("sx"),
-             F.sum(vc).alias("sv"),
-             F.sum(xc * xc).alias("sxx"),
-             F.sum(vc * vc).alias("svv"),
-             F.sum(xc * vc).alias("sxv")))
+        .agg(*_trend_aggs(F.col("x"), F.col("v"))))
 
 
 def _sum_merge(tiers: DataFrame, keys) -> DataFrame:

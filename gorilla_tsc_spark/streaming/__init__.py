@@ -8,7 +8,8 @@ from .heartbeat_stream import stream_heartbeat_tier
 from .family_streams import (stream_autocorr_tier, stream_candle_tier,
                              stream_corr_tier, stream_exphist_tier,
                              stream_hist_tier, stream_rate_tier,
-                             stream_state_tier, stream_twa_tier)
+                             stream_state_tier, stream_trend_tier,
+                             stream_twa_tier)
 from .late_path import (make_ingest_batch_fn, merge_late_staging,
                         split_by_frontier)
 
@@ -17,6 +18,6 @@ __all__ = ["stream_rollup_1m", "stream_distinct_sketch_1m",
            "stream_heartbeat_tier", "stream_corr_tier", "stream_twa_tier",
            "stream_rate_tier", "stream_hist_tier", "stream_state_tier",
            "stream_candle_tier", "stream_autocorr_tier",
-           "stream_exphist_tier",
+           "stream_exphist_tier", "stream_trend_tier",
            "make_ingest_batch_fn", "merge_late_staging",
            "split_by_frontier"]

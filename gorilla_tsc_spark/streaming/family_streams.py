@@ -46,6 +46,12 @@ The exponential histogram (operators/exphist.py) is the corr/hist
 class — bin counts are order-insensitive sums — so
 `stream_exphist_tier` is a watermarked windowed aggregation, bit-equal
 to the batch build.
+
+The linear trend (operators/trend.py) is also the corr/hist class:
+its regressor x is the point's minute offset within its OWN bucket —
+computable per point with no neighbor context — and all eight summary
+columns are order-insensitive sums, so `stream_trend_tier` is a
+watermarked windowed aggregation, bit-equal to the batch build.
 """
 from __future__ import annotations
 
@@ -132,6 +138,36 @@ def stream_exphist_tier(points_stream: DataFrame, nbins: int,
     return agg.select("conv_id",
                       F.unix_millis(F.col("w.start")).alias("bucket"),
                       "n", "below", "above", "counts")
+
+
+def stream_trend_tier(points_stream: DataFrame, bucket_ms: int,
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Point stream (conv_id, ts, v) → watermark-sealed linear-trend
+    tier rows, bit-equal to the batch `trend_tier` at the same grain:
+    the regressor x = floor((ts_ms % bucket_ms) / 60000) is per-point
+    (no neighbor context), and every summary column is a sum of small
+    integers / integer-valued doubles — exact in any arrival order —
+    so this is pure JVM, append mode, no state operator."""
+    from ..operators.rollup import MINUTE_MS
+    from ..operators.trend import _trend_aggs, _x_expr
+
+    assert bucket_ms % MINUTE_MS == 0, "grain must align to minutes"
+    v = F.col("v").cast("double")
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    pts = (points_stream
+           .where(v.isNotNull())
+           .select("conv_id", F.col("ts").cast("timestamp").alias("ts"),
+                   ts_ms.alias("ts_ms"),
+                   _x_expr(ts_ms, bucket_ms).alias("x"), v.alias("v")))
+    agg = (pts.withWatermark("ts", watermark)
+           .groupBy("conv_id",
+                    F.window("ts", f"{bucket_ms // 1000} seconds")
+                    .alias("w"))
+           .agg(*_trend_aggs(F.col("x"), F.col("v"))))
+    return agg.select("conv_id",
+                      F.unix_millis(F.col("w.start")).alias("bucket"),
+                      "n", "first_ts", "last_ts", "sx", "sv", "sxx",
+                      "svv", "sxv")
 
 
 STREAM_TWA_SCHEMA = T.StructType([

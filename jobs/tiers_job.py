@@ -2,9 +2,10 @@
 block-store warehouse: cross-channel correlation, time-weighted
 average, heartbeat/uptime, (optionally) counter rate, (optionally)
 a fixed-bin histogram, (optionally) state-duration, (optionally)
-an OHLCV candle, (optionally) a lag-1 autocorrelation tier, and
-(optionally) an exponential histogram — each at a fine grain plus one
-cascaded coarse grain, written as parquet tier tables under --out.
+an OHLCV candle, (optionally) a lag-1 autocorrelation tier,
+(optionally) an exponential histogram, and (optionally) a linear-trend
+tier — each at a fine grain plus one cascaded coarse grain, written as
+parquet tier tables under --out.
 
 Decode happens ONCE (all families share the exploded points),
 optionally narrowed to the channels actually used; every downstream
@@ -19,6 +20,7 @@ Usage (cluster):
         [--state-channel phase --nstates 4] \\
         [--candle-channel len [--candle-vol-channel words]] \\
         [--autocorr-channel len] [--exphist-nbins 12] \\
+        [--trend-channel len] \\
         [--hb-ms 300000] [--bucket-ms 3600000] [--coarse-ms 86400000]
 
 Usage (sandbox):
@@ -65,6 +67,9 @@ def main() -> None:
     ap.add_argument("--autocorr-channel", default=None,
                     help="channel for the lag-1 autocorrelation tier; "
                          "omitted = skip the autocorr family")
+    ap.add_argument("--trend-channel", default=None,
+                    help="gauge channel for the linear-trend (OLS "
+                         "drift) tier; omitted = skip the trend family")
     ap.add_argument("--exphist-nbins", type=int, default=None,
                     help="power-of-two bucket count for the exponential "
                          "histogram over the twa channel (band "
@@ -123,6 +128,8 @@ def main() -> None:
         chans.add(args.candle_vol_channel)
     if args.autocorr_channel:
         chans.add(args.autocorr_channel)
+    if args.trend_channel:
+        chans.add(args.trend_channel)
     blocks = read_blocks(spark, args.warehouse).where(
         F.col("channel").isin(*chans))
     pts = (decode_blocks(blocks, args.predictor)
@@ -244,6 +251,17 @@ def main() -> None:
         write("autocorr_fine", autocorr_tier(apts, args.bucket_ms))
         write("autocorr_coarse", cascade_autocorr_tier(
             spark.read.parquet(os.path.join(args.out, "autocorr_fine")),
+            args.bucket_ms, args.coarse_ms))
+
+    # linear trend (per-bucket OLS drift) over a declared gauge
+    # channel, when requested
+    if args.trend_channel:
+        from gorilla_tsc_spark.operators.trend import (cascade_trend_tier,
+                                                       trend_tier)
+        tpts = pts.where(F.col("channel") == args.trend_channel)
+        write("trend_fine", trend_tier(tpts, args.bucket_ms))
+        write("trend_coarse", cascade_trend_tier(
+            spark.read.parquet(os.path.join(args.out, "trend_fine")),
             args.bucket_ms, args.coarse_ms))
 
     pts.unpersist()

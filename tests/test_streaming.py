@@ -212,12 +212,14 @@ def test_stream_corr_and_twa_match_batch(spark, transcripts_dir, tmp_path):
     from gorilla_tsc_spark.operators.autocorr import autocorr_tier
     from gorilla_tsc_spark.operators.candle import candle_tier
     from gorilla_tsc_spark.operators.exphist import exphist_tier
+    from gorilla_tsc_spark.operators.trend import trend_tier
     from gorilla_tsc_spark.streaming import (stream_autocorr_tier,
                                              stream_candle_tier,
                                              stream_corr_tier,
                                              stream_exphist_tier,
                                              stream_hist_tier,
                                              stream_state_tier,
+                                             stream_trend_tier,
                                              stream_twa_tier)
 
     batch_t = spark.read.parquet(transcripts_dir)
@@ -287,6 +289,13 @@ def test_stream_corr_and_twa_match_batch(spark, transcripts_dir, tmp_path):
          exphist_tier(batch_t.select(
              "conv_id", F.unix_millis("ts").alias("ts_ms"),
              F.length("text").cast("double").alias("v")), HOUR_MS, 9)),
+        ("trend_stream",
+         stream_trend_tier(stream.select(
+             "conv_id", "ts", F.length("text").cast("double").alias("v")),
+             HOUR_MS),
+         trend_tier(batch_t.select(
+             "conv_id", F.unix_millis("ts").alias("ts_ms"),
+             F.length("text").cast("double").alias("v")), HOUR_MS)),
     ):
         q = (out.writeStream.format("memory").queryName(name)
              .outputMode("append")

@@ -21,6 +21,7 @@ from gorilla_tsc_spark.operators.rate import rate_tier
 from gorilla_tsc_spark.operators.rollup import HOUR_MS
 from gorilla_tsc_spark.operators.statetier import state_tier
 from gorilla_tsc_spark.operators.timeweight import twa_tier
+from gorilla_tsc_spark.operators.trend import trend_tier
 from gorilla_tsc_spark.pipeline import read_blocks, run_pipeline
 
 
@@ -45,7 +46,8 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
         "--rate-channel", "len", "--hist-band", "24:4:16",
         "--state-channel", "role_idx", "--nstates", "3",
         "--candle-channel", "len", "--candle-vol-channel", "words",
-        "--autocorr-channel", "len", "--exphist-nbins", "9"])
+        "--autocorr-channel", "len", "--exphist-nbins", "9",
+        "--trend-channel", "len"])
     # the job ends with spark.stop(); it shares the pytest session via
     # getOrCreate, so neuter stop for the in-process invocation
     monkeypatch.setattr(SparkSession, "stop", lambda self: None)
@@ -98,9 +100,11 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
                   .withColumn("counts", F.col("counts").cast("string")))
             == _rows(exphist_tier(lenpts, HOUR_MS, 9)
                      .withColumn("counts", F.col("counts").cast("string"))))
+    assert (_rows(spark.read.parquet(f"{out}/trend_fine"))
+            == _rows(trend_tier(lenpts, HOUR_MS)))
     for name in ("corr_coarse", "twa_coarse", "hb_coarse", "rate_coarse",
                  "hist_coarse", "state_coarse", "candle_coarse",
-                 "autocorr_coarse", "exphist_coarse"):
+                 "autocorr_coarse", "exphist_coarse", "trend_coarse"):
         assert counters[name] > 0
 
     # the job's output is SQL-addressable via register_tier_views, and
