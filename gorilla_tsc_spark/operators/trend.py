@@ -194,3 +194,22 @@ def trend_estimates(tier: DataFrame) -> DataFrame:
                                F.col("covn2") * F.col("covn2")
                                / (F.col("den") * F.col("denv"))))
             .drop("covn2", "den", "denv"))
+
+
+def trend_forecast(tier: DataFrame, bucket_ms: int,
+                   horizon_ms: int) -> DataFrame:
+    """PromQL ``predict_linear`` over tier rows: extrapolate each
+    bucket's fitted line ``horizon_ms`` past the bucket END.
+
+    Row-local arithmetic on the served slope/intercept — the forecast
+    evaluates the line at x* = (bucket_ms + horizon_ms) minutes from
+    the bucket start.  NULL wherever the fit itself is NULL (n < 2 or
+    a degenerate minute spread): refusing to forecast beats
+    extrapolating a point.  A forecast is an ESTIMATE by contract —
+    the family's exactness guarantee covers the carried sums, not the
+    extrapolation — so this serve stays out of the hash-exact driver
+    gate and is pinned by pytest against the closed-form line."""
+    xs = F.lit((bucket_ms + horizon_ms) / MINUTE_MS)
+    est = trend_estimates(tier)
+    return est.withColumn(
+        "tforecast", F.col("tintercept") + F.col("tslope") * xs)

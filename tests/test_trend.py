@@ -133,3 +133,25 @@ def test_serve_ols_and_null_rules(spark):
     assert abs(got["tintercept"] - intercept) < 1e-9
     r = np.corrcoef(xs, vs)[0, 1]
     assert abs(got["tr2"] - r * r) < 1e-9
+
+
+def test_forecast_predict_linear(spark):
+    from gorilla_tsc_spark.operators.trend import trend_forecast
+    rows = [
+        # exact line v = 2·minute + 1: the forecast must sit ON the line
+        ("c1", 0, 1.0), ("c1", 3 * M, 7.0), ("c1", 10 * M, 21.0),
+        # singleton: fit is NULL → forecast must be NULL, never a point
+        ("c3", 2 * M, 9.0),
+    ]
+    pts = spark.createDataFrame(rows, "conv_id string, ts_ms long, v double")
+    horizon = 30 * M
+    fc = {r["conv_id"]: r
+          for r in trend_forecast(trend_tier(pts, HOUR_MS), HOUR_MS,
+                                  horizon).collect()}
+    # x* = (60 + 30) minutes from bucket start → v = 2·90 + 1
+    assert fc["c1"]["tforecast"] == 2.0 * 90.0 + 1.0
+    assert fc["c3"]["tforecast"] is None
+    # forecast at horizon 0 = fitted value at the bucket's right edge
+    fc0 = trend_forecast(trend_tier(pts, HOUR_MS), HOUR_MS, 0) \
+        .where(F.col("conv_id") == "c1").collect()[0]
+    assert fc0["tforecast"] == 2.0 * 60.0 + 1.0
