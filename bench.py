@@ -403,6 +403,15 @@ def main() -> None:
 
     run("ewma_serve_1h", ewma_bench)
 
+    from gorilla_tsc_spark.operators.smoothing import holt_serve
+
+    def holt_bench():
+        t1h = rollup_points(Q._len_points(spark, sf_dir), HOUR_MS,
+                            F.col("v"), keys=("conv_id",))
+        stats["holt_rows"] = holt_serve(t1h, "vsum", 6 * HOUR_MS).count()
+
+    run("holt_serve_1h", holt_bench)
+
     from gorilla_tsc_spark.operators.components import keep_canonical
     from gorilla_tsc_spark.operators.dedup import lsh_pairs
     from gorilla_tsc_spark.operators.decontaminate import decontaminate

@@ -1,4 +1,5 @@
-"""EWMA smoothing serve: time-aware exponential decay over tier rows.
+"""EWMA + Holt smoothing serves: time-aware exponential decay over
+tier rows (single level, and the double-exponential level+trend pair).
 
 The one PromQL-ish serve surface the tier families can't express
 algebraically: s_i = d·s_{i−1} + (1−d)·x_i is ORDER-DEPENDENT, so it
@@ -137,6 +138,124 @@ def ewma_serve(tier: DataFrame, value_col: str, halflife_ms: int,
     parts = tier.repartition(*key_cols).sortWithinPartitions(
         *key_cols, ts_col)
     return parts.mapInPandas(smooth, schema=schema)
+
+
+def _holt_numpy(ts: np.ndarray, x: np.ndarray, hl_level_ms: float,
+                hl_trend_ms: float, s: float = math.nan, b: float = 0.0,
+                prev_ts: float = 0.0):
+    """Reference double-exponential recursion (Holt's linear method,
+    PromQL ``holt_winters``'s non-seasonal shape), time-aware like
+    `_ewma_numpy`: both smoothing weights decay by elapsed time, so
+    irregular tiers don't over-trust stale trends.
+
+        pred  = s + b·Δt                        (trend-projected level)
+        s     = d_l·pred + (1 − d_l)·x          d_l = 2^(−Δt/hl_level)
+        b     = d_t·b + (1 − d_t)·(s − s_prev)/Δt   d_t = 2^(−Δt/hl_trend)
+
+    b is the smoothed local slope in value units per MILLISECOND
+    (scaled at serve time); null x holds both level and trend."""
+    n = len(x)
+    out_s = np.empty(n, dtype=np.float64)
+    out_b = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        xi = x[i]
+        if math.isnan(xi):
+            out_s[i] = s
+            out_b[i] = b
+            continue
+        if math.isnan(s):
+            s = xi
+            b = 0.0
+        else:
+            dt = ts[i] - prev_ts
+            d_l = 2.0 ** (-dt / hl_level_ms)
+            d_t = 2.0 ** (-dt / hl_trend_ms)
+            s_prev = s
+            s = d_l * (s + b * dt) + (1.0 - d_l) * xi
+            b = d_t * b + (1.0 - d_t) * (s - s_prev) / dt
+        prev_ts = ts[i]
+        out_s[i] = s
+        out_b[i] = b
+    return out_s, out_b, s, b, prev_ts
+
+
+def holt_serve(tier: DataFrame, value_col: str, level_halflife_ms: int,
+               trend_halflife_ms: int | None = None, keys=("conv_id",),
+               ts_col: str = "bucket", level_col: str = "holt",
+               trend_col: str = "holt_trend") -> DataFrame:
+    """Double-exponential (Holt) smoothing serve: adds the smoothed
+    level and the smoothed local trend (value units per MINUTE, the
+    trend family's unit) per series, ordered by ``ts_col``.
+
+    Where `ewma_serve` lags behind a drifting series by design (a
+    single level can't represent motion), the Holt pair tracks it —
+    this is PromQL's ``holt_winters`` (non-seasonal Holt, despite the
+    name) with the same time-aware decay convention as `ewma_serve`.
+    ``trend_halflife_ms`` defaults to the level half-life.
+
+    Same distributed shape as `ewma_serve` — tier rows only, one
+    series-keyed repartition + sortWithinPartitions, one ``mapInPandas``
+    pass carrying (series, level, trend, last_ts) across Arrow
+    batches; the recursion is order-dependent with no stable closed
+    form, so this is the justified-Python serve class."""
+    fields = tier.schema.fields + [
+        StructField(level_col, DoubleType(), True),
+        StructField(trend_col, DoubleType(), True)]
+    schema = StructType(fields)
+    key_cols = list(keys)
+    hl_l = float(level_halflife_ms)
+    hl_t = float(trend_halflife_ms
+                 if trend_halflife_ms is not None else level_halflife_ms)
+
+    def smooth(batches):
+        carry_key = None
+        carry_s, carry_b, carry_ts = math.nan, 0.0, 0.0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                pdf[level_col] = np.empty(0, dtype=np.float64)
+                pdf[trend_col] = np.empty(0, dtype=np.float64)
+                yield pdf
+                continue
+            karrs = [pdf[k].to_numpy() for k in key_cols]
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for a in karrs:
+                change[1:] |= a[1:] != a[:-1]
+            starts = np.flatnonzero(change)
+            ts = pdf[ts_col].to_numpy(dtype=np.float64)
+            x = pdf[value_col].to_numpy(dtype=np.float64)  # None → NaN
+            out_s = np.empty(n, dtype=np.float64)
+            out_b = np.empty(n, dtype=np.float64)
+            for j, lo in enumerate(starts):
+                hi = starts[j + 1] if j + 1 < len(starts) else n
+                key = tuple(a[lo] for a in karrs)
+                if key != carry_key:
+                    carry_s, carry_b, carry_ts = math.nan, 0.0, 0.0
+                (out_s[lo:hi], out_b[lo:hi],
+                 carry_s, carry_b, carry_ts) = _holt_numpy(
+                    ts[lo:hi], x[lo:hi], hl_l, hl_t,
+                    carry_s, carry_b, carry_ts)
+                carry_key = key
+            pdf[level_col] = out_s
+            pdf[trend_col] = out_b * 60_000.0  # per-ms → per-minute
+            yield pdf
+
+    parts = tier.repartition(*key_cols).sortWithinPartitions(
+        *key_cols, ts_col)
+    return parts.mapInPandas(smooth, schema=schema)
+
+
+def holt_forecast(smoothed: DataFrame, horizon_ms: int,
+                  level_col: str = "holt", trend_col: str = "holt_trend",
+                  out_col: str = "holt_forecast") -> DataFrame:
+    """Row-local ``predict_linear``-style extrapolation from a
+    `holt_serve` output: level + trend · horizon.  Unlike the trend
+    family's per-bucket fit, this projects the recursively-smoothed
+    state — the PromQL ``holt_winters``-then-extrapolate idiom."""
+    return smoothed.withColumn(
+        out_col, F.col(level_col)
+        + F.col(trend_col) * F.lit(horizon_ms / 60_000.0))
 
 
 def ewma_anomaly(tier: DataFrame, value_col: str, halflife_ms: int,

@@ -187,3 +187,83 @@ def test_ewma_anomaly_flags_shift_on_constant_baseline(spark):
     # once the recursion re-adapts and dev ≤ 1e-9 floor kicks in)
     assert not any(out[i]["anomaly"] for i in range(5, 20))
     assert not any(out[i]["anomaly"] for i in range(25, 30))
+
+
+def _holt_reference(rows, hl_l, hl_t):
+    """Independent Holt recursion (plain Python, per series)."""
+    by_key = {}
+    for conv, ts, v in rows:
+        by_key.setdefault(conv, []).append((ts, v))
+    out = {}
+    for conv, tv in by_key.items():
+        tv.sort()
+        s, b, prev = None, 0.0, None
+        for ts, v in tv:
+            if v is None:
+                out[(conv, ts)] = (s, b * 60_000.0 if s is not None else b)
+                continue
+            if s is None:
+                s, b = v, 0.0
+            else:
+                dt = ts - prev
+                d_l = 2.0 ** (-dt / hl_l)
+                d_t = 2.0 ** (-dt / hl_t)
+                s_prev = s
+                s = d_l * (s + b * dt) + (1 - d_l) * v
+                b = d_t * b + (1 - d_t) * (s - s_prev) / dt
+            prev = ts
+            out[(conv, ts)] = (s, b * 60_000.0)
+    return out
+
+
+def test_holt_matches_reference_on_tier(spark):
+    from gorilla_tsc_spark.operators.smoothing import holt_serve
+    from gorilla_tsc_spark.queries import _len_points
+    t1h = rollup_points(_len_points(spark, "/root/testdata/sf0.001"),
+                        HOUR_MS, F.col("v"), keys=("conv_id",)).cache()
+    got = {(r["conv_id"], r["bucket"]): (r["holt"], r["holt_trend"])
+           for r in holt_serve(t1h, "vsum", HL, 2 * HL).collect()}
+    rows = [(r["conv_id"], r["bucket"], r["vsum"]) for r in t1h.collect()]
+    truth = _holt_reference(rows, HL, 2 * HL)
+    assert set(got) == set(truth)
+    for k, (s, b) in got.items():
+        assert math.isclose(s, truth[k][0], rel_tol=1e-12), k
+        assert math.isclose(b, truth[k][1], rel_tol=1e-12, abs_tol=1e-15), k
+    t1h.unpersist()
+
+
+def test_holt_tracks_a_drifting_series_ewma_lags(spark):
+    # v = 3 per hour, exactly linear: after warm-up Holt's trend must
+    # converge on the true slope and its forecast must sit near the
+    # line's continuation, while plain EWMA lags below the line.
+    from gorilla_tsc_spark.operators.smoothing import (holt_forecast,
+                                                       holt_serve)
+    slope_per_hour = 3.0
+    rows = [("c", i * HOUR_MS, slope_per_hour * i) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket long, vsum double")
+    sm = holt_serve(df, "vsum", HL)
+    last = (holt_forecast(sm, HOUR_MS).orderBy("bucket").collect()[-1])
+    true_per_min = slope_per_hour / 60.0
+    assert last["holt_trend"] == pytest.approx(true_per_min, rel=1e-3)
+    # one-hour-ahead forecast ≈ the line's next value
+    next_v = slope_per_hour * 200
+    assert last["holt_forecast"] == pytest.approx(next_v, rel=5e-3)
+    ew = ewma_serve(df, "vsum", HL).orderBy("bucket").collect()[-1]
+    lag_holt = abs(rows[-1][2] - last["holt"])
+    lag_ewma = abs(rows[-1][2] - ew["ewma"])
+    assert lag_holt < lag_ewma / 10  # the trend term closes the lag
+
+
+def test_holt_null_holds_and_reset_on_new_series(spark):
+    from gorilla_tsc_spark.operators.smoothing import holt_serve
+    rows = [("a", 0, 10.0), ("a", HOUR_MS, 16.0), ("a", 2 * HOUR_MS, None),
+            ("b", 0, 5.0)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket long, vsum double")
+    out = {(r["conv_id"], r["bucket"]): (r["holt"], r["holt_trend"])
+           for r in holt_serve(df, "vsum", HL).collect()}
+    # null row: both level and trend held from the previous row
+    assert out[("a", 2 * HOUR_MS)] == out[("a", HOUR_MS)]
+    # a new series starts fresh — its first row is its own level, 0 trend
+    assert out[("b", 0)] == (5.0, 0.0)
