@@ -19,6 +19,11 @@ HEADLINE = [
     "textstats_all", "read_range", "read_value_range", "purge_range",
     "topk_tier_merge", "decontaminate", "tier_families_1d",
     "ewma_serve_1h", "value_scan",
+    # per-family production build+cascade plans (the tier_families_1d
+    # gate unions all ten refresh-routed branches; these are the plain
+    # plans a warehouse job runs, one section per audited family)
+    "corr_tier_1d", "twa_tier_1d", "autocorr_tier_1d",
+    "exphist_tier_1d", "trend_tier_1d",
 ]
 
 SF = "/root/testdata/sf0.001"
@@ -107,9 +112,48 @@ def main() -> None:
             [(r["text"],) for r in docs.limit(3).collect()], ["text"])
         return decontaminate(docs, ev)
 
+    from gorilla_tsc_spark.operators.rollup import HOUR_MS
+    from gorilla_tsc_spark.queries import _len_points
+
+    def _corr_1d(spark, sf):
+        from gorilla_tsc_spark.operators.correlate import (
+            cascade_corr_tier, corr_estimates, corr_tier)
+        t = _transcripts(spark, sf)
+        xy = t.select(
+            "conv_id", F.unix_millis("ts").alias("ts_ms"),
+            F.length("text").cast("double").alias("x"),
+            F.size(F.expr(r"filter(split(text, '\\s+'), t -> t != '')"))
+            .cast("double").alias("y"))
+        return corr_estimates(
+            cascade_corr_tier(corr_tier(xy, HOUR_MS), HOUR_MS, DAY_MS))
+
+    def _family_1d(mod, build, cascade, serve, *extra):
+        def q(spark, sf):
+            import importlib
+            m = importlib.import_module(
+                f"gorilla_tsc_spark.operators.{mod}")
+            pts = _len_points(spark, sf)
+            tier = getattr(m, build)(pts, HOUR_MS, *extra)
+            args = extra if mod in ("exphist",) else ()
+            coarse = getattr(m, cascade)(tier, HOUR_MS, DAY_MS, *args)
+            return getattr(m, serve)(coarse, *args)
+        return q
+
     qs = dict(qs, read_range=_read_range,
               read_value_range=_read_value_range, purge_range=_purge_range,
-              topk_tier_merge=_topk_merge, decontaminate=_decontaminate)
+              topk_tier_merge=_topk_merge, decontaminate=_decontaminate,
+              corr_tier_1d=_corr_1d,
+              twa_tier_1d=_family_1d("timeweight", "twa_tier",
+                                     "cascade_twa_tier", "twa_estimates"),
+              autocorr_tier_1d=_family_1d("autocorr", "autocorr_tier",
+                                          "cascade_autocorr_tier",
+                                          "autocorr_estimates"),
+              exphist_tier_1d=_family_1d("exphist", "exphist_tier",
+                                         "cascade_exphist_tier",
+                                         "exphist_estimates", 9),
+              trend_tier_1d=_family_1d("trend", "trend_tier",
+                                       "cascade_trend_tier",
+                                       "trend_estimates"))
     out = ["# Physical plans — headline operators",
            "",
            "Generated by `python tools/plan_dump.py` (AQE off for stable "
