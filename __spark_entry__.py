@@ -26,7 +26,8 @@ histogram, LOCF state-duration and OHLCV candle families — seven
 branches, each refresh-routed at 1h and cascaded 1h→1d vs a DIRECT
 1d oracle, with the interpolated/gap/transition serves folded in),
 the zone-map value scan (SQL value filter + candidate-block-count
-truth), the EWMA serve (DuckDB recursive-CTE recursion, 6dp), the
+truth), the smoothing serves (EWMA + Holt double-exponential in one
+row, both recursions in one DuckDB recursive CTE, 6dp), the
 sketch tiers (HLL/KLL/Theta/top-k error-bound audit,
 lossy_bounds-style), and the streaming late-data path (two-batch
 out-of-order replay merged back to point identity).

@@ -1795,27 +1795,37 @@ FROM vp WHERE v >= 120.0""")
 
 
 def q_ewma_serve_1h(spark, sf_dir):
-    """EWMA smoothing serve under the driver
-    (operators/smoothing.py::ewma_serve): the half-life-decayed level
-    and EW innovation variance of the hourly vsum tier, computed by
-    the mapInPandas cross-batch-carry kernel; the oracle reproduces
-    the recursion with a DuckDB recursive CTE.  The recursion is
-    contractive (s ← d·s + (1−d)·x, d < 1), so 1-ulp libm differences
-    in exp() stay far below the 6dp float rule."""
-    from .operators.smoothing import ewma_serve
+    """The smoothing serves under the driver — EWMA AND Holt in one
+    row (operators/smoothing.py::ewma_serve / holt_serve): the
+    half-life-decayed level, EW innovation variance, and the
+    double-exponential level+trend pair of the hourly vsum tier, all
+    computed by mapInPandas cross-batch-carry kernels; the oracle
+    reproduces both recursions in ONE DuckDB recursive CTE.  Both
+    recursions are contractive (s ← d·s + (1−d)·x, d < 1; Holt's
+    trend likewise), so 1-ulp libm differences in exp()/pow() stay
+    far below the 6dp float rule."""
+    from .operators.smoothing import ewma_serve, holt_serve
     tier = rollup_points(_len_points(spark, sf_dir), HOUR_MS, F.col("v"),
                          keys=("conv_id",))
     sm = ewma_serve(tier, "vsum", EWMA_HL_MS, keys=("conv_id",),
                     out_col="ewma", var_col="ewma_var")
+    hw = holt_serve(sm, "vsum", EWMA_HL_MS, keys=("conv_id",))
     z = F.lit(0.0)
-    return sm.select("conv_id", "bucket", "cnt", "vmin", "vmax", "vsum",
+    return hw.select("conv_id", "bucket", "cnt", "vmin", "vmax", "vsum",
                      (F.round("ewma", 6) + z).alias("ewma"),
-                     (F.round("ewma_var", 6) + z).alias("ewma_var"))
+                     (F.round("ewma_var", 6) + z).alias("ewma_var"),
+                     (F.round("holt", 6) + z).alias("holt"),
+                     (F.round("holt_trend", 6) + z).alias("holt_trend"))
 
 
 def _ewma_serve_sql() -> str:
     hl = float(EWMA_HL_MS)
     d = f"exp(-ln(2) * (o.bucket - r.bucket) / {hl})"
+    # Holt's kernel computes its decay as 2^(−Δt/hl) — mirror that
+    # form token for token (same libm-pow both sides)
+    dl = f"power(2.0, -(o.bucket - r.bucket) / {hl})"
+    s_new = (f"{dl} * (r.holt + r.holt_b * (o.bucket - r.bucket)) "
+             f"+ (1 - {dl}) * o.vsum")
     from .sources.transcripts import transcripts_oracle_sql
     return f"""WITH RECURSIVE transcripts AS ({transcripts_oracle_sql()}),
 {_PTS_SQL.strip()},
@@ -1825,16 +1835,22 @@ o AS (SELECT conv_id, bucket, cnt, vmin, vmax, vsum,
       FROM r1h),
 rec AS (
   SELECT conv_id, bucket, cnt, vmin, vmax, vsum, rn,
-         vsum AS ewma, CAST(0.0 AS DOUBLE) AS ewma_var
+         vsum AS ewma, CAST(0.0 AS DOUBLE) AS ewma_var,
+         vsum AS holt, CAST(0.0 AS DOUBLE) AS holt_b
   FROM o WHERE rn = 1
   UNION ALL
   SELECT o.conv_id, o.bucket, o.cnt, o.vmin, o.vmax, o.vsum, o.rn,
          {d} * r.ewma + (1 - {d}) * o.vsum,
          {d} * r.ewma_var
-           + {d} * (1 - {d}) * (o.vsum - r.ewma) * (o.vsum - r.ewma)
+           + {d} * (1 - {d}) * (o.vsum - r.ewma) * (o.vsum - r.ewma),
+         {s_new},
+         {dl} * r.holt_b
+           + (1 - {dl}) * ({s_new} - r.holt) / (o.bucket - r.bucket)
   FROM o JOIN rec r ON o.conv_id = r.conv_id AND o.rn = r.rn + 1)
 SELECT conv_id, bucket, cnt, vmin, vmax, vsum,
-       round(ewma, 6) + 0.0 AS ewma, round(ewma_var, 6) + 0.0 AS ewma_var
+       round(ewma, 6) + 0.0 AS ewma, round(ewma_var, 6) + 0.0 AS ewma_var,
+       round(holt, 6) + 0.0 AS holt,
+       round(holt_b * 60000.0, 6) + 0.0 AS holt_trend
 FROM rec"""
 
 
