@@ -882,6 +882,7 @@ _TF_COLS = (
     ("tsvv", "double"), ("tsxv", "double"),
     ("tmean", "double"), ("tslope", "double"),
     ("tintercept", "double"), ("tr2", "double"),
+    ("tforecast", "double"),
 )
 
 
@@ -974,7 +975,7 @@ def q_tier_families_1d(spark, sf_dir):
                                        twa_estimates,
                                        twa_interpolated_estimates, twa_tier)
     from .operators.trend import (cascade_trend_tier, refresh_trend_tier,
-                                  trend_estimates, trend_tier)
+                                  trend_forecast, trend_tier)
     late_pred = F.xxhash64("conv_id", "ts_ms") % 4 == 0
 
     t = _transcripts(spark, sf_dir)
@@ -1088,8 +1089,9 @@ def q_tier_families_1d(spark, sf_dir):
         (F.round("ep99", 6) + z).alias("ep99"))
     tr_fine = refresh_trend_tier(trend_tier(on_time, HOUR_MS), late,
                                  HOUR_MS)
-    tr = trend_estimates(
-        cascade_trend_tier(tr_fine, HOUR_MS, DAY_MS)).select(
+    tr = trend_forecast(
+        cascade_trend_tier(tr_fine, HOUR_MS, DAY_MS), DAY_MS,
+        6 * HOUR_MS).select(
         "conv_id", "bucket", "n", "first_ts", "last_ts",
         F.col("sx").alias("tsx"), F.col("sv").alias("tsv"),
         F.col("sxx").alias("tsxx"), F.col("svv").alias("tsvv"),
@@ -1097,7 +1099,8 @@ def q_tier_families_1d(spark, sf_dir):
         (F.round("tmean", 6) + z).alias("tmean"),
         (F.round("tslope", 6) + z).alias("tslope"),
         (F.round("tintercept", 6) + z).alias("tintercept"),
-        (F.round("tr2", 6) + z).alias("tr2"))
+        (F.round("tr2", 6) + z).alias("tr2"),
+        (F.round("tforecast", 6) + z).alias("tforecast"))
     return (_tf_pad(corr, "corr")
             .unionByName(_tf_pad(twa, "twa"))
             .unionByName(_tf_pad(hb, "heartbeat"))
@@ -1135,7 +1138,7 @@ _TF_CANDLE_NAMES = ("open", "close", "high", "low", "high_ts", "low_ts",
 _TF_AC_NAMES = ("sadj", "n_pairs", "mean", "var_pop", "lag1")
 _TF_EXP_NAMES = ("ep50", "ep90", "ep99")
 _TF_TREND_NAMES = ("tsx", "tsv", "tsxx", "tsvv", "tsxv", "tmean",
-                   "tslope", "tintercept", "tr2")
+                   "tslope", "tintercept", "tr2", "tforecast")
 
 
 def _tier_families_sql() -> str:
@@ -1535,7 +1538,12 @@ tdf AS (SELECT conv_id, bucket, n, first_ts, last_ts,
                END AS tintercept,
                CASE WHEN n >= 2 AND den > 0 AND denv > 0
                     THEN round(covn2 * covn2 / (den * denv), 6) + 0.0
-               END AS tr2
+               END AS tr2,
+               CASE WHEN n >= 2 AND den > 0
+                    THEN round((tsv - covn2 / den * CAST(tsx AS DOUBLE))
+                               / CAST(n AS DOUBLE)
+                               + covn2 / den * 1800.0, 6) + 0.0
+               END AS tforecast
         FROM tds)
 SELECT 'corr' AS family, conv_id, bucket, n, sx, sy, sxx, syy, sxy,
        round((n * sxy - sx * sy) / (n * n), 6) + 0.0 AS cov,
@@ -1707,7 +1715,8 @@ SELECT 'trend', conv_id, bucket, n,
        {_tf_nulls(*_TF_CANDLE_NAMES)},
        {_tf_nulls(*_TF_AC_NAMES)},
        {_tf_nulls(*_TF_EXP_NAMES)},
-       tsx, tsv, tsxx, tsvv, tsxv, tmean, tslope, tintercept, tr2
+       tsx, tsv, tsxx, tsvv, tsxv, tmean, tslope, tintercept, tr2,
+       tforecast
 FROM tdf""")
 
 
