@@ -22,9 +22,10 @@ decontamination (raw-gram overlap truth) and duplicate-cluster
 connected components (recursive-CTE transitive closure).  Round 5
 driver-gates the remaining round-4 surface: the merged tier-family
 gate (corr/twa/heartbeat plus the round-5 counter-rate, fixed-bin
-histogram, LOCF state-duration and OHLCV candle families — seven
-branches, each refresh-routed at 1h and cascaded 1h→1d vs a DIRECT
-1d oracle, with the interpolated/gap/transition serves folded in),
+histogram, LOCF state-duration, OHLCV candle, lag-1 autocorrelation,
+exponential-histogram and linear-trend families — ten branches, each
+refresh-routed at 1h and cascaded 1h→1d vs a DIRECT 1d oracle, with
+the interpolated/gap/transition/forecast serves folded in),
 the zone-map value scan (SQL value filter + candidate-block-count
 truth), the smoothing serves (EWMA + Holt double-exponential in one
 row, both recursions in one DuckDB recursive CTE, 6dp), the
