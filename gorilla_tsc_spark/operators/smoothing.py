@@ -142,7 +142,7 @@ def ewma_serve(tier: DataFrame, value_col: str, halflife_ms: int,
 
 def _holt_numpy(ts: np.ndarray, x: np.ndarray, hl_level_ms: float,
                 hl_trend_ms: float, s: float = math.nan, b: float = 0.0,
-                prev_ts: float = 0.0):
+                var: float = 0.0, prev_ts: float = 0.0):
     """Reference double-exponential recursion (Holt's linear method,
     PromQL ``holt_winters``'s non-seasonal shape), time-aware like
     `_ewma_numpy`: both smoothing weights decay by elapsed time, so
@@ -153,15 +153,26 @@ def _holt_numpy(ts: np.ndarray, x: np.ndarray, hl_level_ms: float,
         b     = d_t·b + (1 − d_t)·(s − s_prev)/Δt   d_t = 2^(−Δt/hl_trend)
 
     b is the smoothed local slope in value units per MILLISECOND
-    (scaled at serve time); null x holds both level and trend."""
+    (scaled at serve time); null x holds both level and trend.
+
+    Alongside the pair it maintains the EW variance of the ONE-STEP
+    INNOVATIONS x − (s_prev + b_prev·Δt) — deviations from the
+    trend-projected prediction, not from the flat level — in the same
+    d·(1−d)-weighted form as `_ewma_numpy`, so a steadily-drifting
+    series decays to zero innovation variance (drift is explained by
+    the trend term) while a spike registers at full weight.  That is
+    what makes `holt_anomaly` drift-immune where `ewma_anomaly`
+    structurally flags every row of a fast-trending series."""
     n = len(x)
     out_s = np.empty(n, dtype=np.float64)
     out_b = np.empty(n, dtype=np.float64)
+    out_var = np.empty(n, dtype=np.float64)
     for i in range(n):
         xi = x[i]
         if math.isnan(xi):
             out_s[i] = s
             out_b[i] = b
+            out_var[i] = var
             continue
         if math.isnan(s):
             s = xi
@@ -171,18 +182,22 @@ def _holt_numpy(ts: np.ndarray, x: np.ndarray, hl_level_ms: float,
             d_l = 2.0 ** (-dt / hl_level_ms)
             d_t = 2.0 ** (-dt / hl_trend_ms)
             s_prev = s
+            innov = xi - (s + b * dt)
+            var = d_l * var + d_l * (1.0 - d_l) * innov * innov
             s = d_l * (s + b * dt) + (1.0 - d_l) * xi
             b = d_t * b + (1.0 - d_t) * (s - s_prev) / dt
         prev_ts = ts[i]
         out_s[i] = s
         out_b[i] = b
-    return out_s, out_b, s, b, prev_ts
+        out_var[i] = var
+    return out_s, out_b, out_var, s, b, var, prev_ts
 
 
 def holt_serve(tier: DataFrame, value_col: str, level_halflife_ms: int,
                trend_halflife_ms: int | None = None, keys=("conv_id",),
                ts_col: str = "bucket", level_col: str = "holt",
-               trend_col: str = "holt_trend") -> DataFrame:
+               trend_col: str = "holt_trend",
+               var_col: str | None = None) -> DataFrame:
     """Double-exponential (Holt) smoothing serve: adds the smoothed
     level and the smoothed local trend (value units per MINUTE, the
     trend family's unit) per series, ordered by ``ts_col``.
@@ -201,6 +216,8 @@ def holt_serve(tier: DataFrame, value_col: str, level_halflife_ms: int,
     fields = tier.schema.fields + [
         StructField(level_col, DoubleType(), True),
         StructField(trend_col, DoubleType(), True)]
+    if var_col:
+        fields = fields + [StructField(var_col, DoubleType(), True)]
     schema = StructType(fields)
     key_cols = list(keys)
     hl_l = float(level_halflife_ms)
@@ -209,12 +226,14 @@ def holt_serve(tier: DataFrame, value_col: str, level_halflife_ms: int,
 
     def smooth(batches):
         carry_key = None
-        carry_s, carry_b, carry_ts = math.nan, 0.0, 0.0
+        carry_s, carry_b, carry_v, carry_ts = math.nan, 0.0, 0.0, 0.0
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 pdf[level_col] = np.empty(0, dtype=np.float64)
                 pdf[trend_col] = np.empty(0, dtype=np.float64)
+                if var_col:
+                    pdf[var_col] = np.empty(0, dtype=np.float64)
                 yield pdf
                 continue
             karrs = [pdf[k].to_numpy() for k in key_cols]
@@ -227,18 +246,22 @@ def holt_serve(tier: DataFrame, value_col: str, level_halflife_ms: int,
             x = pdf[value_col].to_numpy(dtype=np.float64)  # None → NaN
             out_s = np.empty(n, dtype=np.float64)
             out_b = np.empty(n, dtype=np.float64)
+            out_v = np.empty(n, dtype=np.float64)
             for j, lo in enumerate(starts):
                 hi = starts[j + 1] if j + 1 < len(starts) else n
                 key = tuple(a[lo] for a in karrs)
                 if key != carry_key:
-                    carry_s, carry_b, carry_ts = math.nan, 0.0, 0.0
-                (out_s[lo:hi], out_b[lo:hi],
-                 carry_s, carry_b, carry_ts) = _holt_numpy(
+                    carry_s, carry_b, carry_v, carry_ts = (math.nan, 0.0,
+                                                           0.0, 0.0)
+                (out_s[lo:hi], out_b[lo:hi], out_v[lo:hi],
+                 carry_s, carry_b, carry_v, carry_ts) = _holt_numpy(
                     ts[lo:hi], x[lo:hi], hl_l, hl_t,
-                    carry_s, carry_b, carry_ts)
+                    carry_s, carry_b, carry_v, carry_ts)
                 carry_key = key
             pdf[level_col] = out_s
             pdf[trend_col] = out_b * 60_000.0  # per-ms → per-minute
+            if var_col:
+                pdf[var_col] = out_v
             yield pdf
 
     parts = tier.repartition(*key_cols).sortWithinPartitions(
@@ -256,6 +279,37 @@ def holt_forecast(smoothed: DataFrame, horizon_ms: int,
     return smoothed.withColumn(
         out_col, F.col(level_col)
         + F.col(trend_col) * F.lit(horizon_ms / 60_000.0))
+
+
+def holt_anomaly(tier: DataFrame, value_col: str, halflife_ms: int,
+                 k: float = 3.0, min_baseline: int = 3,
+                 keys=("conv_id",), ts_col: str = "bucket") -> DataFrame:
+    """Trend-aware anomaly bands: flag a row when its value deviates
+    from the TREND-PROJECTED one-step prediction (previous level +
+    previous trend · Δt) by more than ``k`` EW innovation standard
+    deviations.  On a steadily-drifting series `ewma_anomaly` is
+    structurally blind or noisy — its flat level lags the drift, so
+    either the band inflates to cover the lag or every row flags —
+    while the Holt innovation decays to zero under clean drift and a
+    genuine spike registers at full weight.  Same lag discipline as
+    `ewma_anomaly`: the judging state never saw the row it judges."""
+    from pyspark.sql.window import Window
+    sm = holt_serve(tier, value_col, halflife_ms, keys=keys,
+                    ts_col=ts_col, var_col="holt_var")
+    w = Window.partitionBy(*list(keys)).orderBy(ts_col)
+    dt_min = (F.col(ts_col) - F.lag(ts_col).over(w)) / F.lit(60_000.0)
+    pred = F.lag("holt").over(w) + F.lag("holt_trend").over(w) * dt_min
+    pvar = F.lag("holt_var").over(w)
+    seen = F.row_number().over(w) - 1
+    dev = F.abs(F.col(value_col) - pred)
+    band = F.lit(float(k)) * F.sqrt(pvar)
+    return (sm
+            .withColumn("holt_pred", pred)
+            .withColumn("holt_band", band)
+            .withColumn("anomaly",
+                        F.coalesce((seen >= min_baseline)
+                                   & (dev > band) & (dev > 1e-9),
+                                   F.lit(False))))
 
 
 def ewma_anomaly(tier: DataFrame, value_col: str, halflife_ms: int,

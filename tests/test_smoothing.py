@@ -267,3 +267,46 @@ def test_holt_null_holds_and_reset_on_new_series(spark):
     assert out[("a", 2 * HOUR_MS)] == out[("a", HOUR_MS)]
     # a new series starts fresh — its first row is its own level, 0 trend
     assert out[("b", 0)] == (5.0, 0.0)
+
+
+def test_holt_anomaly_flags_spike_on_drifting_baseline(spark):
+    # a steadily-drifting series with one planted spike: the Holt bands
+    # must flag exactly the spike (drift is explained by the trend
+    # term), while the flat-level EWMA bands — whose innovations under
+    # drift converge to a constant lag the band inflates to cover —
+    # miss a spike of the same size.
+    from gorilla_tsc_spark.operators.smoothing import (ewma_anomaly,
+                                                       holt_anomaly)
+    slope = 3.0  # per hour
+    rows = []
+    for i in range(120):
+        v = slope * i
+        if i == 90:
+            v += 40.0  # ≈ 1.5× the EWMA steady-state drift lag
+        rows.append(("c", i * HOUR_MS, v))
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket long, vsum double")
+    ha = {r["bucket"] // HOUR_MS: r["anomaly"]
+          for r in holt_anomaly(df, "vsum", HL, k=3.0,
+                                min_baseline=30).collect()}
+    assert ha[90] is True
+    assert sum(ha.values()) == 1, {i for i, f in ha.items() if f}
+    ea = {r["bucket"] // HOUR_MS: r["anomaly"]
+          for r in ewma_anomaly(df, "vsum", HL, k=3.0,
+                                min_baseline=30).collect()}
+    assert ea[90] is False  # drift lag swallowed the spike
+
+
+def test_holt_variance_carries_and_decays(spark):
+    # innovation variance must decay to ~0 under clean drift (the
+    # trend term explains the motion) — checked via the served column
+    from gorilla_tsc_spark.operators.smoothing import holt_serve
+    rows = [("c", i * HOUR_MS, 5.0 * i) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket long, vsum double")
+    out = (holt_serve(df, "vsum", HL, var_col="holt_var")
+           .orderBy("bucket").collect())
+    # warm-up innovations (b starts at 0) peak ~80 of variance; the
+    # coupled level/trend transient then decays it away geometrically
+    assert out[-1]["holt_var"] < 1e-3
+    assert out[5]["holt_var"] > 100 * (out[-1]["holt_var"] + 1e-12)
