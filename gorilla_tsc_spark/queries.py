@@ -899,7 +899,7 @@ def _tf_pad(df: DataFrame, family: str) -> DataFrame:
 
 
 def q_tier_families_1d(spark, sf_dir):
-    """All nine tier families under ONE driver gate, each built at 1h
+    """All ten tier families under ONE driver gate, each built at 1h
     THROUGH ITS LATE-DATA REFRESH PATH and CASCADED to 1d while the
     oracle builds 1d DIRECT from all points — so the gate pins each
     family's refresh algebra (corr / hist: delta-tier sum-merge; twa /
