@@ -83,6 +83,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- core timeseries
 
 def q_transcripts_derive(spark, sf_dir):
+    """The synthetic transcripts table itself (conv_id, turn_idx, role,
+    text, tool, ts derived deterministically from the events table per
+    BASELINE.json's input_hint) — pins the corpus both engines build
+    everything else from, including per-turn text equality under the
+    stable turn ordering."""
     return _transcripts(spark, sf_dir)
 
 
