@@ -1,0 +1,100 @@
+"""Raw-log ingestion (sources/ingest.py): JSONL/CSV under the explicit
+schema, corrupt-line quarantine, required-field splitting, and the
+deterministic duplicate-turn resolution — including that the ingested
+corpus feeds encode_blocks unchanged (the text-equality invariant)."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gorilla_tsc_spark.sources.ingest import (
+    dedupe_turns,
+    read_transcripts_csv,
+    read_transcripts_jsonl,
+    split_corrupt,
+)
+
+GOOD = [
+    '{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi there",'
+    '"tool":null,"ts":"2024-01-08T00:00:00"}',
+    '{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"hello!",'
+    '"tool":"search","ts":"2024-01-08T00:00:05"}',
+    '{"conv_id":"c2","turn_idx":0,"role":"user","text":"yo",'
+    '"tool":null,"ts":"2024-01-08T01:00:00"}',
+]
+BROKEN = '{"conv_id":"c3","turn_idx":0,  << not json'
+MISSING_TS = ('{"conv_id":"c4","turn_idx":0,"role":"user",'
+              '"text":"no ts","tool":null,"ts":null}')
+
+
+def _write(tmp_path, name, lines):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_jsonl_quarantine_and_split(spark, tmp_path):
+    path = _write(tmp_path, "t.jsonl", GOOD + [BROKEN, MISSING_TS])
+    df = read_transcripts_jsonl(spark, path)
+    clean, quarantine = split_corrupt(df)
+    assert clean.count() == 3
+    assert clean.columns == ["conv_id", "turn_idx", "role", "text",
+                             "tool", "ts"]
+    q = quarantine.collect()
+    assert len(q) == 2
+    # the malformed line is preserved VERBATIM for replay
+    assert any(r["_corrupt_record"] == BROKEN for r in q)
+    # the parseable-but-unusable row is quarantined too, not dropped
+    assert any(r["conv_id"] == "c4" and r["_corrupt_record"] is None
+               for r in q)
+    # ts parsed to a real timestamp
+    row = clean.where("conv_id = 'c1' AND turn_idx = 1").first()
+    assert row["ts"].second == 5 and row["tool"] == "search"
+
+
+def test_csv_same_contract(spark, tmp_path):
+    lines = ["conv_id,turn_idx,role,text,tool,ts",
+             "c1,0,user,hi,,2024-01-08T00:00:00",
+             "c1,not_an_int,user,broken,,2024-01-08T00:00:01"]
+    path = _write(tmp_path, "t.csv", lines)
+    clean, quarantine = split_corrupt(read_transcripts_csv(spark, path))
+    assert clean.count() == 1
+    assert quarantine.count() == 1
+
+
+def test_dedupe_turns_total_order(spark, tmp_path):
+    dup_newer = ('{"conv_id":"c1","turn_idx":0,"role":"user",'
+                 '"text":"hi there (edited)","tool":null,'
+                 '"ts":"2024-01-08T00:00:09"}')
+    dup_tie_shorter = ('{"conv_id":"c2","turn_idx":0,"role":"user",'
+                       '"text":"y","tool":null,'
+                       '"ts":"2024-01-08T01:00:00"}')
+    path = _write(tmp_path, "t.jsonl", GOOD + [dup_newer, dup_tie_shorter])
+    clean, _ = split_corrupt(read_transcripts_jsonl(spark, path))
+    out = dedupe_turns(clean)
+    assert out.count() == 3
+    # latest ts wins
+    assert (out.where("conv_id = 'c1' AND turn_idx = 0")
+            .first()["text"] == "hi there (edited)")
+    # equal ts: the richer (longer-text) row wins
+    assert (out.where("conv_id = 'c2' AND turn_idx = 0")
+            .first()["text"] == "yo")
+
+
+def test_ingested_corpus_feeds_encode(spark, tmp_path):
+    # end to end: JSONL → quarantine split → dedupe → Gorilla encode →
+    # decode reproduces the per-turn channel exactly (the text-equality
+    # invariant carried through the numeric channel)
+    from gorilla_tsc_spark.operators.encode import (block_value_column,
+                                                    decode_blocks,
+                                                    encode_blocks)
+    path = _write(tmp_path, "t.jsonl", GOOD + [BROKEN])
+    clean, _ = split_corrupt(read_transcripts_jsonl(spark, path))
+    t = dedupe_turns(clean)
+    pts = (decode_blocks(encode_blocks(t))
+           .where(F.col("channel") == "len")
+           .select("conv_id", "ts_ms", block_value_column().alias("v")))
+    want = {(r["conv_id"], r["ts_ms"]): float(len(r["text"]))
+            for r in t.select("conv_id", F.unix_millis("ts").alias("ts_ms"),
+                              "text").collect()}
+    got = {(r["conv_id"], r["ts_ms"]): r["v"] for r in pts.collect()}
+    assert got == want
