@@ -88,6 +88,24 @@ def read_transcripts_csv(spark: SparkSession, path: str,
     return _finalize(raw, ts_format)
 
 
+def read_transcripts_jsonl_stream(spark: SparkSession, path: str,
+                                  ts_format: str | None = None,
+                                  max_files: int = 64) -> DataFrame:
+    """Streaming twin of `read_transcripts_jsonl`: tail a directory of
+    JSONL log files under the SAME explicit schema + quarantine
+    contract, ready for `split_corrupt` → the watermarked rollup /
+    event-time block encoder.  ``max_files`` bounds each micro-batch
+    (maxFilesPerTrigger) so a backlog replay can't build one giant
+    batch."""
+    raw = (spark.readStream
+           .schema(RAW_SCHEMA)
+           .option("mode", "PERMISSIVE")
+           .option("columnNameOfCorruptRecord", "_corrupt_record")
+           .option("maxFilesPerTrigger", max_files)
+           .json(path))
+    return _finalize(raw, ts_format)
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): quarantine = malformed source lines (kept
     verbatim for replay/alerting) plus parseable rows missing a

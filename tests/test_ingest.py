@@ -98,3 +98,26 @@ def test_ingested_corpus_feeds_encode(spark, tmp_path):
                               "text").collect()}
     got = {(r["conv_id"], r["ts_ms"]): r["v"] for r in pts.collect()}
     assert got == want
+
+
+def test_jsonl_stream_matches_batch(spark, tmp_path):
+    # the streaming reader under the same schema/quarantine contract:
+    # replaying the directory availableNow must reproduce the batch
+    # reader's clean rows exactly (quarantine handled per micro-batch)
+    from gorilla_tsc_spark.sources.ingest import read_transcripts_jsonl_stream
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.jsonl").write_text("\n".join(GOOD[:2]) + "\n")
+    (d / "b.jsonl").write_text("\n".join([GOOD[2], BROKEN]) + "\n")
+    clean_s, _ = split_corrupt(
+        read_transcripts_jsonl_stream(spark, str(d), max_files=1))
+    q = (clean_s.writeStream.format("memory").queryName("ingest_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ingest_stream")
+    want, _ = split_corrupt(read_transcripts_jsonl(spark, str(d)))
+    assert got.count() == 3
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
