@@ -10,8 +10,13 @@ Usage (sandbox):
         --warehouse /tmp/wh
 
 ``--input`` accepts an Iceberg identifier (``db.transcripts``), a
-transcripts parquet path, or a testdata sf directory (events parquet →
-transcripts derivation). Emits one JSON line with pipeline stats.
+transcripts parquet path, a testdata sf directory (events parquet →
+transcripts derivation), or raw JSONL logs (a ``.jsonl`` file/glob or
+a directory of them) — routed through sources/ingest.py: explicit
+schema, corrupt-line quarantine (written to
+``<warehouse>/ingest_quarantine``, counted in the stats line) and
+deterministic duplicate-turn resolution.  Emits one JSON line with
+pipeline stats.
 """
 from __future__ import annotations
 
@@ -33,7 +38,12 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true", default=True)
     ap.add_argument("--no-resume", dest="resume", action="store_false")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--ts-format", default=None,
+                    help="timestamp format for raw JSONL input "
+                         "(default: ISO-8601 via to_timestamp)")
     args = ap.parse_args()
+
+    import glob
 
     from gorilla_tsc_spark.pipeline import run_pipeline
     from gorilla_tsc_spark.session import get_spark
@@ -42,7 +52,20 @@ def main() -> None:
 
     spark = get_spark("encode-rollup-job", cores=args.cores)
     inp = args.input
-    if os.path.isdir(inp) and os.path.exists(os.path.join(inp, "events.parquet")):
+    quarantined = None
+    if (inp.endswith(".jsonl")
+            or (os.path.isdir(inp) and glob.glob(os.path.join(inp,
+                                                              "*.jsonl")))):
+        from gorilla_tsc_spark.sources.ingest import (dedupe_turns,
+                                                      read_transcripts_jsonl,
+                                                      split_corrupt)
+        clean, bad = split_corrupt(
+            read_transcripts_jsonl(spark, inp, args.ts_format))
+        qpath = os.path.join(args.warehouse, "ingest_quarantine")
+        bad.write.mode("overwrite").parquet(qpath)
+        quarantined = spark.read.parquet(qpath).count()
+        transcripts = dedupe_turns(clean)
+    elif os.path.isdir(inp) and os.path.exists(os.path.join(inp, "events.parquet")):
         transcripts = transcripts_from_events(
             spark, load_table(spark, inp, "events"))
     elif "/" in inp:
@@ -57,13 +80,16 @@ def main() -> None:
         gapfill_how=args.gapfill,
         resume=args.resume,
     )
-    print(json.dumps({
+    stats = {
         "blocks": res.n_blocks, "points": res.n_points,
         "payload_bytes": res.payload_bytes,
         "bytes_per_point": round(res.payload_bytes / max(res.n_points, 1), 3),
         "wall_sec": round(res.wall_sec, 2),
         "tiers": sorted(res.tier_paths),
-    }))
+    }
+    if quarantined is not None:
+        stats["quarantined"] = quarantined
+    print(json.dumps(stats))
     spark.stop()
 
 

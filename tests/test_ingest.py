@@ -121,3 +121,31 @@ def test_jsonl_stream_matches_batch(spark, tmp_path):
     assert got.count() == 3
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_encode_rollup_job_ingests_jsonl(spark, tmp_path, capsys,
+                                         monkeypatch):
+    # the flagship job end-to-end on RAW LOGS: JSONL dir → quarantine
+    # parquet + counter → dedupe → full pipeline (blocks + tiers)
+    import json
+    import sys as _sys
+
+    from pyspark.sql import SparkSession
+
+    import jobs.encode_rollup_job as job
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.jsonl").write_text("\n".join(GOOD + [BROKEN]) + "\n")
+    wh = str(tmp_path / "wh")
+    monkeypatch.setattr(_sys, "argv", [
+        "encode_rollup_job.py", "--input", str(d), "--warehouse", wh,
+        "--cores", "8"])
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    job.main()
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["quarantined"] == 1
+    assert stats["points"] > 0 and stats["blocks"] > 0
+    # the quarantine table holds the malformed line verbatim
+    q = spark.read.parquet(f"{wh}/ingest_quarantine").collect()
+    assert len(q) == 1 and q[0]["_corrupt_record"] == BROKEN
