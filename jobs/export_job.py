@@ -11,7 +11,8 @@ pruning effectiveness is visible per run.
 Usage (cluster):
     spark-submit --py-files engine.zip jobs/export_job.py \\
         --warehouse s3://lake/gorilla --t0-ms A --t1-ms B \\
-        --out s3://bucket/export [--conv-ids id1,id2] [--channel len]
+        --out s3://bucket/export [--conv-ids id1,id2] [--channel len] \\
+        [--format parquet|jsonl|csv]
 
 Usage (sandbox):
     python jobs/export_job.py --warehouse /tmp/wh --t0-ms A --t1-ms B \\
@@ -40,6 +41,10 @@ def main() -> None:
                     help="store's encode-time predictor (e.g. dfcm1024); "
                          "must match or the decode is silently wrong")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "jsonl", "csv"],
+                    help="export format; jsonl/csv for downstream "
+                         "consumers that don't speak parquet")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -63,8 +68,16 @@ def main() -> None:
                                & (F.col("first_ts") < args.t1_ms)).count()
     pts = read_range(blocks, args.t0_ms, args.t1_ms, conv_ids=conv_ids,
                      predictor=args.predictor)
-    pts.write.mode("overwrite").parquet(args.out)
-    n_pts = spark.read.parquet(args.out).count()
+    if args.format == "jsonl":
+        pts.write.mode("overwrite").json(args.out)
+        n_pts = spark.read.json(args.out).count()
+    elif args.format == "csv":
+        pts.write.mode("overwrite").option("header", "true").csv(args.out)
+        n_pts = (spark.read.option("header", "true").csv(args.out)
+                 .count())
+    else:
+        pts.write.mode("overwrite").parquet(args.out)
+        n_pts = spark.read.parquet(args.out).count()
 
     print(json.dumps({"blocks_total": n_blocks,
                       "blocks_overlapping": overlapping,

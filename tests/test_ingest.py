@@ -149,3 +149,34 @@ def test_encode_rollup_job_ingests_jsonl(spark, tmp_path, capsys,
     # the quarantine table holds the malformed line verbatim
     q = spark.read.parquet(f"{wh}/ingest_quarantine").collect()
     assert len(q) == 1 and q[0]["_corrupt_record"] == BROKEN
+
+
+def test_export_job_jsonl_format(spark, tmp_path, capsys, monkeypatch):
+    # export_job --format jsonl: the pruned-decode window export in a
+    # format downstream non-parquet consumers ingest directly
+    import json
+    import sys as _sys
+
+    from pyspark.sql import SparkSession
+
+    import jobs.export_job as job
+    from gorilla_tsc_spark.operators.encode import encode_blocks
+
+    path = _write(tmp_path, "t.jsonl", GOOD)
+    clean, _ = split_corrupt(read_transcripts_jsonl(spark, str(path)))
+    t = dedupe_turns(clean)
+    wh = str(tmp_path / "wh")
+    encode_blocks(t).write.parquet(f"{wh}/gorilla_blocks")
+    t0 = t.agg(F.min(F.unix_millis("ts"))).first()[0]
+    t1 = t.agg(F.max(F.unix_millis("ts"))).first()[0] + 1
+    out = str(tmp_path / "export")
+    monkeypatch.setattr(_sys, "argv", [
+        "export_job.py", "--warehouse", wh, "--t0-ms", str(t0),
+        "--t1-ms", str(t1), "--out", out, "--channel", "len",
+        "--format", "jsonl", "--cores", "8"])
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    job.main()
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["points_exported"] == 3
+    got = spark.read.json(out)
+    assert got.count() == 3 and "conv_id" in got.columns
