@@ -81,3 +81,41 @@ def test_maintenance_jobs_end_to_end(spark, tmp_path_factory, capsys,
     assert r["rollup_1m"]["kept"] == 0
     # the swept table is still a readable (empty) tier
     assert spark.read.parquet(f"{wh}/rollup_1m").count() == 0
+
+
+def test_backfill_job_end_to_end(spark, tmp_path_factory, capsys,
+                                 monkeypatch):
+    # the backfill entry point: on-time pipeline + late parquet →
+    # merged store carries every point, channel decode identity holds
+    import jobs.backfill_job as backfill_job
+    from gorilla_tsc_spark.operators.encode import (block_value_column,
+                                                    decode_blocks)
+    from gorilla_tsc_spark.pipeline import run_pipeline
+    from gorilla_tsc_spark.queries import _transcripts
+
+    wh = str(tmp_path_factory.mktemp("wh_bf"))
+    late_dir = str(tmp_path_factory.mktemp("late") / "late.parquet")
+    t = _transcripts(spark, "/root/testdata/sf0.001").cache()
+    late_pred = F.xxhash64("conv_id", F.unix_millis("ts")) % 5 == 0
+    t.where(~late_pred).write.mode("overwrite").parquet(f"{wh}_src")
+    run_pipeline(spark, spark.read.parquet(f"{wh}_src"), wh,
+                 points_per_block=256)
+    t.where(late_pred).write.parquet(late_dir)
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    monkeypatch.setattr(sys, "argv", [
+        "backfill_job.py", "--warehouse", wh, "--late", late_dir,
+        "--cores", "8"])
+    backfill_job.main()
+    s = _stats(capsys)
+    assert s["late_rows"] > 0
+    # every late turn lands: the merged store's decoded len channel
+    # equals the full corpus's
+    merged = spark.read.parquet(f"{wh}/gorilla_blocks_backfilled")
+    got = (decode_blocks(merged.where(F.col("channel") == "len"))
+           .select("conv_id", "ts_ms", block_value_column().alias("v")))
+    want = t.select("conv_id", F.unix_millis("ts").alias("ts_ms"),
+                    F.length("text").cast("double").alias("v"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    t.unpersist()
