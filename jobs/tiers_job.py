@@ -20,7 +20,7 @@ Usage (cluster):
         [--state-channel phase --nstates 4] \\
         [--candle-channel len [--candle-vol-channel words]] \\
         [--autocorr-channel len] [--exphist-nbins 12] \\
-        [--trend-channel len] \\
+        [--trend-channel len] [--smooth-halflife-ms 21600000] \\
         [--hb-ms 300000] [--bucket-ms 3600000] [--coarse-ms 86400000]
 
 Usage (sandbox):
@@ -70,6 +70,10 @@ def main() -> None:
     ap.add_argument("--trend-channel", default=None,
                     help="gauge channel for the linear-trend (OLS "
                          "drift) tier; omitted = skip the trend family")
+    ap.add_argument("--smooth-halflife-ms", type=int, default=None,
+                    help="half-life for an EWMA+Holt smoothed serve "
+                         "table over the twa channel's fine rollup; "
+                         "omitted = skip the smoothing serve")
     ap.add_argument("--exphist-nbins", type=int, default=None,
                     help="power-of-two bucket count for the exponential "
                          "histogram over the twa channel (band "
@@ -252,6 +256,19 @@ def main() -> None:
         write("autocorr_coarse", cascade_autocorr_tier(
             spark.read.parquet(os.path.join(args.out, "autocorr_fine")),
             args.bucket_ms, args.coarse_ms))
+
+    # EWMA + Holt smoothed serve over the twa channel's fine numeric
+    # rollup, when a half-life is declared (serve-time transform, not
+    # a family: order-dependent, so it materializes as its own table)
+    if args.smooth_halflife_ms:
+        from gorilla_tsc_spark.operators.rollup import rollup_points
+        from gorilla_tsc_spark.operators.smoothing import (ewma_serve,
+                                                           holt_serve)
+        t_fine = rollup_points(twa_pts, args.bucket_ms, F.col("v"))
+        write("smooth_fine", holt_serve(
+            ewma_serve(t_fine, "vsum", args.smooth_halflife_ms,
+                       var_col="ewma_var"),
+            "vsum", args.smooth_halflife_ms))
 
     # linear trend (per-bucket OLS drift) over a declared gauge
     # channel, when requested

@@ -47,7 +47,8 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
         "--state-channel", "role_idx", "--nstates", "3",
         "--candle-channel", "len", "--candle-vol-channel", "words",
         "--autocorr-channel", "len", "--exphist-nbins", "9",
-        "--trend-channel", "len"])
+        "--trend-channel", "len",
+        "--smooth-halflife-ms", str(6 * HOUR_MS)])
     # the job ends with spark.stop(); it shares the pytest session via
     # getOrCreate, so neuter stop for the in-process invocation
     monkeypatch.setattr(SparkSession, "stop", lambda self: None)
@@ -102,6 +103,14 @@ def test_tiers_job_end_to_end(spark, tmp_path_factory, capsys, monkeypatch):
                      .withColumn("counts", F.col("counts").cast("string"))))
     assert (_rows(spark.read.parquet(f"{out}/trend_fine"))
             == _rows(trend_tier(lenpts, HOUR_MS)))
+    from gorilla_tsc_spark.operators.rollup import rollup_points
+    from gorilla_tsc_spark.operators.smoothing import ewma_serve, holt_serve
+    want_smooth = holt_serve(
+        ewma_serve(rollup_points(lenpts, HOUR_MS, F.col("v")), "vsum",
+                   6 * HOUR_MS, var_col="ewma_var"),
+        "vsum", 6 * HOUR_MS)
+    assert (_rows(spark.read.parquet(f"{out}/smooth_fine"))
+            == _rows(want_smooth))
     for name in ("corr_coarse", "twa_coarse", "hb_coarse", "rate_coarse",
                  "hist_coarse", "state_coarse", "candle_coarse",
                  "autocorr_coarse", "exphist_coarse", "trend_coarse"):
